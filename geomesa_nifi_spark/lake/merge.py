@@ -1,0 +1,342 @@
+"""MERGE INTO for the ledger lake: idempotent, bucket-pruned, copy-on-write.
+
+Re-expresses the reference's write paths as one declarative plan:
+
+* ModifyWriter upsert with append fallback (``FeatureWriters.scala:115-160``)
+  -> ``update_mode="full"``: matched rows replaced when the source wins
+  last-writer-wins, unmatched sources inserted.
+* ``UpdateGeoMesaRecord`` partial-column update, no insert fallback
+  (``UpdateGeoMesaRecord.scala:52-230``) -> ``update_mode="partial"``:
+  only the columns present in the source overwrite; unmatched sources are
+  counted as failures (``:168-170``).
+* Delete handling (north rule; the reference protocol's drop messages,
+  ``GetGeoMesaKafkaRecord.scala:273``) -> ``op = 'delete'`` rows remove the
+  key when they win LWW; a *late* delete (older event time than the stored
+  row) loses, keeping replay deterministic under any batching.
+
+Physical shape (what Catalyst executes):
+
+    source batch
+      -> LWW dedup (map-side-combining max_by aggregate, skew-immune)
+      -> bucket id = pmod(xxhash64(key), B)      [codegen]
+      -> touched-bucket set (tiny driver collect, <= B values)
+    target
+      -> ledger file pruning: ONLY files of touched buckets are read
+    full-outer sort-merge join on key (AQE skew split applies)
+      -> per-row resolution (pure column expressions, whole-stage codegen)
+      -> observe() counters (inserted/updated/deleted/kept)
+      -> one shuffle to _bucket, write one file set per touched bucket
+    ledger commit: untouched buckets' files carried over; batch_id recorded
+      -> replaying a committed batch is a no-op (exactly-once)
+
+At 100 TB the dominant cost is rewriting touched buckets; choosing
+``num_buckets`` so a batch touches a bounded fraction keeps the rewrite
+O(batch-locality), and the source side of the join is one deduped row per
+key — orders of magnitude smaller than the target.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake import evolution
+from geomesa_nifi_spark.lake.ledger import Snapshot
+from geomesa_nifi_spark.lake.table import BUCKET_COL, DELETED_COL, LakeTable
+from geomesa_nifi_spark.operators.dedup import lww_dedup
+
+OP_COL_DEFAULT = "op"
+OP_DELETE = "delete"
+
+
+@dataclass
+class MergeResult:
+    snapshot: Snapshot | None
+    skipped: bool = False
+    metrics: dict = field(default_factory=dict)
+
+
+def merge_changes(
+    table: LakeTable,
+    source: DataFrame,
+    batch_id: str | None = None,
+    op_col: str = OP_COL_DEFAULT,
+    update_mode: str = "full",
+    compat_mode: evolution.CompatibilityMode = evolution.CompatibilityMode.UPDATE,
+    dedup_strategy: str = "maxby",
+    lineage: dict | None = None,
+    collect_metrics: bool = True,
+    max_records_per_file: int = 2_000_000,
+) -> MergeResult:
+    """Apply a batch of change events to the table, exactly once.
+
+    ``source`` columns: the table's key column, optionally ``op_col``
+    (default op is upsert when absent), the table's ``ts_col`` (+ optional
+    ``tiebreak_col``) for LWW ordering, plus any subset of data columns.
+    Extra columns trigger schema reconciliation per ``compat_mode``.
+    """
+    key = table.key_col
+    ts_col = table.ts_col
+    tiebreak = table.tiebreak_col
+    base = table.snapshot()
+
+    # ---- exactly-once gate ------------------------------------------------
+    if batch_id is not None and str(batch_id) in table.committed_batch_ids():
+        return MergeResult(snapshot=None, skipped=True, metrics={"reason": "batch_committed"})
+
+    # ---- schema reconcile (create/evolve/reject) ---------------------------
+    table_schema = table.schema()
+    has_op = op_col in source.columns
+    incoming = T.StructType([f for f in source.schema.fields if f.name != op_col])
+    rec = evolution.reconcile(table_schema, incoming, mode=compat_mode)
+    final_schema = rec.table_schema
+    final_cols = [f.name for f in final_schema.fields]
+    if rec.dropped:
+        source = source.drop(*rec.dropped)
+
+    if ts_col is None or ts_col not in source.columns:
+        raise ValueError(f"merge requires LWW ts column '{ts_col}' in the source")
+    order_cols = [ts_col] + ([tiebreak] if tiebreak and tiebreak in source.columns else [])
+
+    # ---- LWW dedup to one row per key --------------------------------------
+    src = lww_dedup(source, key, order_cols, strategy=dedup_strategy)
+    if not has_op:
+        src = src.withColumn(op_col, F.lit("upsert"))
+    src = src.withColumn(BUCKET_COL, table.bucket_expr())
+
+    # ---- bucket pruning -----------------------------------------------------
+    touched = sorted(
+        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+    )  # <= num_buckets rows: trivially driver-safe at any scale
+    if not touched:
+        return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
+
+    tgt = table.scan(snapshot=base, buckets=touched, include_tombstones=True)
+    # Null-pad target for newly added columns (old files lack them anyway,
+    # but the scan used the pre-evolution snapshot schema).
+    for f in rec.added:
+        if f.name not in tgt.columns:
+            tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    resolved = _resolve(
+        src=src,
+        tgt=tgt,
+        key=key,
+        op_col=op_col,
+        ts_col=ts_col,
+        tiebreak=tiebreak,
+        final_schema=final_schema,
+        update_mode=update_mode,
+        bucket_expr=table.bucket_expr(),
+    )
+
+    obs = None
+    if collect_metrics:
+        obs = Observation(f"merge-{base.version + 1}")
+        resolved = resolved.observe(
+            obs,
+            F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("inserted"),
+            F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("updated"),
+            F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("deleted"),
+            F.sum(F.when(F.col("_action") == "keep", 1).otherwise(0)).alias("kept"),
+            F.sum(F.when(F.col("_action") == "reject", 1).otherwise(0)).alias("rejected"),
+            F.sum(F.when(F.col("_action") == "tombstone", 1).otherwise(0)).alias("tombstoned"),
+        )
+
+    out = resolved.filter(F.col("_action") != "reject").select(
+        *[F.col(c) for c in final_cols], F.col(DELETED_COL), F.col(BUCKET_COL)
+    )
+
+    new_files = table.write_files(out, base.version + 1, max_records_per_file)
+
+    metrics: dict = {}
+    if obs is not None:
+        try:
+            metrics = {k: int(v or 0) for k, v in obs.get.items()}
+        except Exception:
+            # AQE collapses an all-rows-filtered write to an empty relation
+            # and the CollectMetrics row never materializes; the write itself
+            # is fine (zero data rows) — record what we know.
+            metrics = {"metrics_unavailable_empty_write": 1}
+
+    summary = {
+        "operation": "merge",
+        "batch_id": str(batch_id) if batch_id is not None else None,
+        "update_mode": update_mode,
+        "touched_buckets": touched,
+        "rows_written": sum(f.rows for f in new_files),
+        **metrics,
+        "lineage": lineage or {},
+    }
+    snap = table.commit_rewrite(
+        touched_buckets=touched,
+        new_files=new_files,
+        summary=summary,
+        base=base,
+        schema_json=final_schema.json(),
+    )
+    return MergeResult(snapshot=snap, metrics=metrics)
+
+
+def append_only(
+    table: LakeTable,
+    source: DataFrame,
+    batch_id: str | None = None,
+    lineage: dict | None = None,
+    max_records_per_file: int = 2_000_000,
+) -> MergeResult:
+    """Blind append (reference AppendWriter, ``FeatureWriters.scala:104-106``).
+
+    No target read, no key lookup — new files land in their buckets and the
+    ledger adds them without replacing anything.  Key uniqueness is the
+    caller's contract, exactly as with the reference's append mode.
+    """
+    base = table.snapshot()
+    if batch_id is not None and str(batch_id) in table.committed_batch_ids():
+        return MergeResult(snapshot=None, skipped=True, metrics={"reason": "batch_committed"})
+    cols = [f.name for f in table.schema().fields]
+    out = source.select(
+        *[
+            (F.col(c) if c in source.columns else F.lit(None).cast(f.dataType)).alias(c)
+            for c, f in zip(cols, table.schema().fields)
+        ]
+    ).withColumn(BUCKET_COL, table.bucket_expr())
+    new_files = table.write_files(out, base.version + 1, max_records_per_file)
+    snap = table.ledger.commit(
+        Snapshot(
+            version=base.version + 1,
+            schema_json=base.schema_json,
+            files=base.files + new_files,
+            properties=dict(base.properties),
+            summary={
+                "operation": "append",
+                "batch_id": str(batch_id) if batch_id is not None else None,
+                "rows_written": sum(f.rows for f in new_files),
+                "lineage": lineage or {},
+            },
+            parent_version=base.version,
+        )
+    )
+    return MergeResult(snapshot=snap, metrics={"appended": sum(f.rows for f in new_files)})
+
+
+def _resolve(
+    src: DataFrame,
+    tgt: DataFrame,
+    key: str,
+    op_col: str,
+    ts_col: str,
+    tiebreak: str | None,
+    final_schema: T.StructType,
+    update_mode: str,
+    bucket_expr,
+) -> DataFrame:
+    """Full-outer join + per-row CDC resolution, all column expressions.
+
+    Deletes produce **tombstones**: the row is kept with ``_deleted=true``
+    and its LWW order keys, so an older upsert replayed *after* the delete
+    still loses — the final state is independent of how the stream was
+    batched (SURVEY.md §7 hard-part 1/2).  Public scans filter tombstones.
+    """
+    final_cols = [f.name for f in final_schema.fields]
+    src_cols = set(src.columns)
+
+    s = src.select(
+        F.col(key).alias("_sk"),
+        F.col(op_col).alias("_sop"),
+        *[F.col(c).alias(f"_s_{c}") for c in final_cols if c in src_cols and c != key],
+    )
+    t = tgt.select(
+        F.col(key).alias("_tk"),
+        F.col(DELETED_COL).alias("_tdel"),
+        *[F.col(c).alias(f"_t_{c}") for c in final_cols if c != key],
+    )
+
+    j = t.join(s, t["_tk"] == s["_sk"], "full_outer")
+
+    matched = F.col("_tk").isNotNull() & F.col("_sk").isNotNull()
+    src_only = F.col("_tk").isNull() & F.col("_sk").isNotNull()
+    is_delete = F.col("_sop") == OP_DELETE
+    tgt_dead = F.coalesce(F.col("_tdel"), F.lit(False))
+    types = {f.name: f.dataType for f in final_schema.fields}
+
+    def s_(c):  # source value or typed null if the batch didn't provide it
+        if c == key:
+            return F.col("_sk")
+        if f"_s_{c}" in j.columns:
+            return F.col(f"_s_{c}")
+        return F.lit(None).cast(types[c])
+
+    def t_(c):
+        return F.col("_tk") if c == key else F.col(f"_t_{c}")
+
+    # LWW: the source wins when its (ts, tiebreak) >= the stored row's —
+    # including against tombstones, which retain their order keys.
+    if tiebreak and f"_s_{tiebreak}" in j.columns:
+        src_wins = F.struct(s_(ts_col), s_(tiebreak)) >= F.struct(t_(ts_col), t_(tiebreak))
+    else:
+        src_wins = s_(ts_col) >= t_(ts_col)
+    src_wins = F.coalesce(src_wins, F.lit(False))
+
+    if update_mode == "partial":
+        # UpdateGeoMesaRecord: no insert fallback; unmatched sources are
+        # failures (UpdateGeoMesaRecord.scala:168-170).
+        action = (
+            F.when(matched & src_wins & is_delete & ~tgt_dead, "delete")
+            .when(matched & src_wins & is_delete, "keep")  # refresh tombstone
+            .when(matched & src_wins & tgt_dead, "insert")  # resurrect
+            .when(matched & src_wins, "update")
+            .when(matched, "keep")
+            .when(src_only, "reject")
+            .otherwise("keep")
+        )
+        provided = {c for c in final_cols if f"_s_{c}" in j.columns or c == key}
+
+        def updated_value(c):
+            if c in provided:
+                return s_(c)  # overwrite with source value, even if null
+            return t_(c)
+
+    else:  # full row replacement with insert fallback (ModifyWriter :143-147)
+        action = (
+            F.when(matched & src_wins & is_delete & ~tgt_dead, "delete")
+            .when(matched & src_wins & is_delete, "keep")  # refresh tombstone
+            .when(matched & src_wins & tgt_dead, "insert")  # resurrect
+            .when(matched & src_wins, "update")
+            .when(matched, "keep")
+            .when(src_only & is_delete, "tombstone")  # delete-before-insert
+            .when(src_only, "insert")
+            .otherwise("keep")
+        )
+
+        def updated_value(c):
+            return s_(c)
+
+    j = j.withColumn("_action", action)
+
+    src_winner = F.col("_action").isin("insert", "update", "delete", "tombstone")
+    out_cols = []
+    for c in final_cols:
+        if update_mode == "partial":
+            val = (
+                F.when(F.col("_action") == "update", updated_value(c))
+                .when(src_winner, s_(c))
+                .otherwise(t_(c))
+            )
+        else:
+            val = F.when(src_winner, s_(c)).otherwise(t_(c))
+        out_cols.append(val.cast(types[c]).alias(c))
+
+    # Tombstone rows keep the winner's LWW order keys; delete events carry
+    # null payloads already, so no extra nulling is needed.
+    deleted_flag = (
+        F.when(F.col("_action").isin("delete", "tombstone"), F.lit(True))
+        .when(src_winner, F.lit(False))
+        .otherwise(tgt_dead)
+    )
+
+    resolved = j.select(*out_cols, deleted_flag.alias(DELETED_COL), F.col("_action"))
+    return resolved.withColumn(BUCKET_COL, bucket_expr)

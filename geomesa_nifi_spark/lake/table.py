@@ -1,0 +1,283 @@
+"""LakeTable: a bucket-partitioned, snapshot-versioned parquet table.
+
+The storage layout (all paths relative to the table root):
+
+    _ledger/v{version}.json      -- snapshot log (see ledger.py)
+    data/s{version}-{token}/_bucket={b}/part-*.parquet
+
+Rows are hash-bucketed on the table's key column:
+``bucket = pmod(xxhash64(key), num_buckets)``.  Every data file holds rows of
+exactly one bucket, and the ledger records the bucket per file, so a MERGE
+that touches keys in buckets {3, 17} reads and rewrites *only* the files of
+those buckets — file-level pruning equivalent to Iceberg's
+``PARTITIONED BY (bucket(N, url))`` (the reference configures the same idea
+via its FileSystem partition scheme, ``PutGeoMesaFsTest.scala:86``).
+
+Scale notes (targets a 1000-executor cluster even though tests run local):
+  * num_buckets is the unit of merge parallelism AND of pruning; for 100 TB
+    choose O(10^4-10^5) buckets so a typical CDC batch touches a small
+    fraction and each rewrite is O(100 MB-1 GB).
+  * ``maxRecordsPerFile`` caps file size inside a hot bucket.
+  * scans hand Spark an explicit file list -> no directory listing storms;
+    column pruning + predicate pushdown still apply (plain parquet scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake.ledger import DataFile, Ledger, Snapshot
+
+BUCKET_COL = "_bucket"
+DELETED_COL = "_deleted"  # hidden tombstone flag; see merge.py
+
+try:  # pyarrow is baked into the environment; used only for footer stats.
+    import pyarrow.parquet as pq
+except ImportError:  # pragma: no cover
+    pq = None
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.ledger = Ledger(root)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_col: str,
+        ts_col: str | None = None,
+        tiebreak_col: str | None = None,
+        num_buckets: int = 32,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        """CREATE TABLE (IF NOT EXISTS): commit snapshot v0 with no files.
+
+        Mirrors the reference's schema-init-at-startup
+        (``PutGeoMesa.scala:106-128``).
+        """
+        table = LakeTable(spark, root)
+        if table.exists():
+            if if_not_exists:
+                return table
+            raise FileExistsError(f"lake table already exists at {root}")
+        if key_col not in schema.fieldNames():
+            raise ValueError(f"key column '{key_col}' not in schema")
+        props = {
+            "key_col": key_col,
+            "ts_col": ts_col or "",
+            "tiebreak_col": tiebreak_col or "",
+            "num_buckets": str(num_buckets),
+            **(properties or {}),
+        }
+        table.ledger.commit(
+            Snapshot(
+                version=0,
+                schema_json=schema.json(),
+                files=[],
+                properties=props,
+                summary={"operation": "create"},
+            )
+        )
+        return table
+
+    def exists(self) -> bool:
+        return self.ledger.exists()
+
+    # -- metadata ----------------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return self.ledger.snapshot(version)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.snapshot(version).schema_json))
+
+    @property
+    def key_col(self) -> str:
+        return self.snapshot().properties["key_col"]
+
+    @property
+    def ts_col(self) -> str | None:
+        return self.snapshot().properties.get("ts_col") or None
+
+    @property
+    def tiebreak_col(self) -> str | None:
+        return self.snapshot().properties.get("tiebreak_col") or None
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.snapshot().properties["num_buckets"])
+
+    def history(self) -> list[Snapshot]:
+        return self.ledger.snapshots()
+
+    def committed_batch_ids(self) -> set[str]:
+        return self.ledger.committed_batch_ids()
+
+    # -- bucketing ---------------------------------------------------------
+
+    def bucket_expr(self, key=None) -> F.Column:
+        """pmod(xxhash64(key), B) — JVM-side, codegen'd, deterministic."""
+        key = F.col(self.key_col) if key is None else key
+        return F.pmod(F.xxhash64(key), F.lit(self.num_buckets)).cast("int")
+
+    # -- reads ---------------------------------------------------------------
+
+    def scan(
+        self,
+        version: int | None = None,
+        buckets: Iterable[int] | None = None,
+        snapshot: Snapshot | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Read the table state, optionally pruned to a set of buckets.
+
+        Old files written before an additive schema evolution lack the new
+        columns; reading with the snapshot's explicit schema null-pads them
+        (by-name resolution, ≙ ``AvroToPutGeoMesa.scala:201-222``).
+
+        Deleted keys persist as tombstone rows (``_deleted = true``) so that
+        late-arriving older upserts cannot resurrect them; the public scan
+        filters tombstones out.  ``include_tombstones=True`` (used by MERGE)
+        exposes them with the ``_deleted`` column attached.
+        """
+        snap = snapshot or self.snapshot(version)
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType(), True)]
+        )
+        files = snap.files
+        if buckets is not None:
+            wanted = set(buckets)
+            files = [f for f in files if f.bucket in wanted]
+        if not files:
+            df = self.spark.createDataFrame([], read_schema)
+        else:
+            paths = [os.path.join(self.root, f.path) for f in files]
+            df = self.spark.read.schema(read_schema).parquet(*paths)
+        df = df.withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if include_tombstones:
+            return df
+        return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+
+    # -- writes --------------------------------------------------------------
+
+    def write_files(
+        self,
+        df: DataFrame,
+        version_hint: int,
+        max_records_per_file: int = 2_000_000,
+    ) -> list[DataFile]:
+        """Write ``df`` (must carry ``_bucket``) as new immutable data files.
+
+        One shuffle on ``_bucket`` co-locates each bucket in a single task,
+        so each bucket yields one file (plus overflow splits via
+        ``maxRecordsPerFile``).  Files go to a commit-unique subdir; nothing
+        is visible until the ledger commit references it, so a failed job
+        leaves only unreferenced orphans (cleaned by ``vacuum``).
+        """
+        token = uuid.uuid4().hex[:8]
+        subdir = f"data/s{version_hint:010d}-{token}"
+        out_dir = os.path.join(self.root, subdir)
+        (
+            df.repartition(F.col(BUCKET_COL))
+            .write.option("maxRecordsPerFile", str(max_records_per_file))
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        return self._discover_files(subdir)
+
+    def _discover_files(self, subdir: str) -> list[DataFile]:
+        out: list[DataFile] = []
+        base = os.path.join(self.root, subdir)
+        for dirpath, _dirnames, filenames in os.walk(base):
+            for name in sorted(filenames):
+                if not name.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(dirpath, self.root)
+                bucket = _bucket_from_path(dirpath)
+                full = os.path.join(dirpath, name)
+                rows = pq.ParquetFile(full).metadata.num_rows if pq else -1
+                out.append(DataFile(path=os.path.join(rel_dir, name), bucket=bucket, rows=rows))
+        return out
+
+    def commit_rewrite(
+        self,
+        touched_buckets: Iterable[int],
+        new_files: list[DataFile],
+        summary: dict,
+        base: Snapshot,
+        schema_json: str | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Publish a snapshot replacing the touched buckets' files.
+
+        Untouched buckets keep their existing files untouched — the
+        copy-on-write unit is the bucket, not the table.
+        """
+        touched = set(touched_buckets)
+        kept = [f for f in base.files if f.bucket not in touched]
+        snap = Snapshot(
+            version=base.version + 1,
+            schema_json=schema_json or base.schema_json,
+            files=kept + list(new_files),
+            properties=properties or dict(base.properties),
+            summary=summary,
+            parent_version=base.version,
+        )
+        return self.ledger.commit(snap)
+
+    def evolve_schema(self, new_schema: T.StructType, summary: dict | None = None) -> Snapshot:
+        """Additive evolution: new snapshot, same data files, wider schema.
+
+        Old files are null-padded at read time — no rewrite, matching
+        Iceberg ``ALTER TABLE ADD COLUMNS`` and the reference's Update mode
+        (``DataStoreIngestProcessor.scala:245-252``).
+        """
+        base = self.snapshot()
+        snap = Snapshot(
+            version=base.version + 1,
+            schema_json=new_schema.json(),
+            files=base.files,
+            properties=dict(base.properties),
+            summary={"operation": "evolve_schema", **(summary or {})},
+            parent_version=base.version,
+        )
+        return self.ledger.commit(snap)
+
+    def vacuum(self) -> list[str]:
+        """Delete data files not referenced by any snapshot (failed commits)."""
+        referenced = set()
+        for snap in self.ledger.snapshots():
+            for f in snap.files:
+                referenced.add(os.path.normpath(f.path))
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _d, filenames in os.walk(data_root):
+            for name in filenames:
+                full = os.path.join(dirpath, name)
+                rel = os.path.normpath(os.path.relpath(full, self.root))
+                if name.endswith(".parquet") and rel not in referenced:
+                    os.unlink(full)
+                    removed.append(rel)
+        return removed
+
+
+def _bucket_from_path(dirpath: str) -> int:
+    for part in reversed(dirpath.split(os.sep)):
+        if part.startswith(f"{BUCKET_COL}="):
+            return int(part.split("=", 1)[1])
+    raise ValueError(f"no {BUCKET_COL}= component in {dirpath}")

@@ -1,0 +1,125 @@
+"""Lake table + ledger basics: create, append, scan, pruning, vacuum,
+atomic-commit conflict, exactly-once batch skip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake import (
+    CommitConflict,
+    LakeTable,
+    Snapshot,
+    append_only,
+)
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def page(i, rev=0):
+    return Row(
+        url=f"https://d{i % 7}.example.com/p/{i}",
+        warc_ts=ts(i + rev * 1000),
+        html=f"<html>{i}:{rev}</html>".encode(),
+        text=f"page {i} rev {rev}",
+        lang="en",
+    )
+
+
+def test_create_scan_append(spark, tmp_path):
+    root = str(tmp_path / "pages")
+    t = LakeTable.create(spark, root, PAGES, key_col="url", ts_col="warc_ts", num_buckets=8)
+    assert t.exists()
+    assert t.scan().count() == 0
+    assert t.snapshot().version == 0
+
+    df = spark.createDataFrame([page(i) for i in range(50)], PAGES)
+    res = append_only(t, df, batch_id="b0")
+    assert res.metrics["appended"] == 50
+    assert t.scan().count() == 50
+    assert t.snapshot().version == 1
+    assert t.snapshot().summary["batch_id"] == "b0"
+
+    # exactly-once: same batch id is a no-op
+    res2 = append_only(t, df, batch_id="b0")
+    assert res2.skipped
+    assert t.scan().count() == 50
+    assert t.snapshot().version == 1
+
+
+def test_create_if_not_exists(spark, tmp_path):
+    root = str(tmp_path / "t")
+    LakeTable.create(spark, root, PAGES, key_col="url")
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, root, PAGES, key_col="url")
+    LakeTable.create(spark, root, PAGES, key_col="url", if_not_exists=True)
+
+
+def test_bucket_pruned_scan(spark, tmp_path):
+    root = str(tmp_path / "pages")
+    t = LakeTable.create(spark, root, PAGES, key_col="url", ts_col="warc_ts", num_buckets=8)
+    df = spark.createDataFrame([page(i) for i in range(200)], PAGES)
+    append_only(t, df, batch_id="b0")
+
+    snap = t.snapshot()
+    buckets = sorted({f.bucket for f in snap.files})
+    assert len(buckets) > 1  # data spread over buckets
+    one = buckets[0]
+    pruned = t.scan(buckets=[one])
+    full = t.scan()
+    # pruned scan reads strictly fewer rows and they all hash to that bucket
+    assert 0 < pruned.count() < full.count()
+    got = pruned.withColumn("_b", t.bucket_expr()).select("_b").distinct().collect()
+    assert [r[0] for r in got] == [one]
+    # pruning happens at the file level: scan only references that bucket's files
+    assert sum(f.rows for f in snap.files if f.bucket == one) == pruned.count()
+
+
+def test_commit_conflict_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "pages")
+    t = LakeTable.create(spark, root, PAGES, key_col="url", ts_col="warc_ts")
+    base = t.snapshot()
+    t.ledger.commit(
+        Snapshot(version=1, schema_json=base.schema_json, files=[], summary={"operation": "x"},
+                 properties=dict(base.properties), parent_version=0)
+    )
+    with pytest.raises(CommitConflict):
+        t.ledger.commit(
+            Snapshot(version=1, schema_json=base.schema_json, files=[], summary={"operation": "y"},
+                     properties=dict(base.properties), parent_version=0)
+        )
+    # time travel: scan an older version
+    df = spark.createDataFrame([page(i) for i in range(10)], PAGES)
+    append_only(t, df)
+    assert t.scan(version=1).count() == 0
+    assert t.scan().count() == 10
+
+
+def test_vacuum_removes_orphans(spark, tmp_path):
+    root = str(tmp_path / "pages")
+    t = LakeTable.create(spark, root, PAGES, key_col="url", ts_col="warc_ts", num_buckets=4)
+    df = spark.createDataFrame([page(i) for i in range(20)], PAGES)
+    append_only(t, df, batch_id="b0")
+    # simulate a failed commit: files written but never referenced
+    from geomesa_nifi_spark.lake.table import BUCKET_COL
+
+    orphan = df.withColumn(BUCKET_COL, t.bucket_expr())
+    t.write_files(orphan, version_hint=99)
+    removed = t.vacuum()
+    assert removed  # orphans deleted
+    assert t.scan().count() == 20  # live data intact

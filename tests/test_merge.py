@@ -1,0 +1,280 @@
+"""MERGE semantics: upsert, insert-fallback, LWW ordering, deletes,
+idempotent replay, partial updates, schema evolution mid-stream.
+
+Re-expresses the reference's UpdateIngest test sequence
+(PutGeoMesaAccumuloTest.scala:562-729) and the F2 event patterns in
+FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake import (
+    CompatibilityMode,
+    LakeTable,
+    SchemaCompatibilityError,
+    merge_changes,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+CHANGE = T.StructType(
+    list(SCHEMA.fields) + [T.StructField("op", T.StringType())]
+)
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(i))
+
+
+def ev(url, i, text, op="upsert", lang="en"):
+    return Row(url=url, warc_ts=ts(i), offset=int(i), text=text, lang=lang, op=op)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        key_col="url",
+        ts_col="warc_ts",
+        tiebreak_col="offset",
+        num_buckets=8,
+    )
+
+
+def state(table):
+    rows = table.scan().collect()
+    return {r.url: r for r in rows}
+
+
+def test_insert_update_delete_roundtrip(spark, table):
+    b1 = spark.createDataFrame(
+        [ev("a", 1, "a1"), ev("b", 2, "b1"), ev("c", 3, "c1")], CHANGE
+    )
+    r1 = merge_changes(table, b1, batch_id="1")
+    assert r1.metrics["inserted"] == 3
+
+    # update a, delete b, insert d
+    b2 = spark.createDataFrame(
+        [ev("a", 10, "a2"), ev("b", 11, None, op="delete"), ev("d", 12, "d1")], CHANGE
+    )
+    r2 = merge_changes(table, b2, batch_id="2")
+    assert r2.metrics == {**r2.metrics, "inserted": 1, "updated": 1, "deleted": 1}
+    st = state(table)
+    assert set(st) == {"a", "c", "d"}
+    assert st["a"].text == "a2"
+
+
+def test_update_before_insert_falls_back_to_insert(spark, table):
+    # FeatureWriters.scala:143-147 — modify with no match appends
+    b = spark.createDataFrame([ev("ghost", 5, "v1", op="update")], CHANGE)
+    r = merge_changes(table, b, batch_id="1")
+    assert r.metrics["inserted"] == 1
+    assert state(table)["ghost"].text == "v1"
+
+
+def test_within_batch_duplicates_lww(spark, table):
+    # multi-match warn (FeatureWriters.scala:136-141) -> deterministic LWW
+    b = spark.createDataFrame(
+        [ev("k", 1, "old"), ev("k", 9, "new"), ev("k", 5, "mid")], CHANGE
+    )
+    merge_changes(table, b, batch_id="1")
+    assert state(table)["k"].text == "new"
+
+
+def test_out_of_order_late_event_loses(spark, table):
+    merge_changes(table, spark.createDataFrame([ev("k", 100, "current")], CHANGE), batch_id="1")
+    merge_changes(table, spark.createDataFrame([ev("k", 50, "stale")], CHANGE), batch_id="2")
+    assert state(table)["k"].text == "current"
+    # equal ts: tiebreak on offset
+    merge_changes(
+        table,
+        spark.createDataFrame([Row(url="k", warc_ts=ts(100), offset=99, text="lower-off",
+                                   lang="en", op="upsert")], CHANGE),
+        batch_id="3",
+    )
+    assert state(table)["k"].text == "current"  # offset 99 < 100? no: insert had offset 100
+    merge_changes(
+        table,
+        spark.createDataFrame([Row(url="k", warc_ts=ts(100), offset=101, text="higher-off",
+                                   lang="en", op="upsert")], CHANGE),
+        batch_id="4",
+    )
+    assert state(table)["k"].text == "higher-off"
+
+
+def test_late_delete_loses(spark, table):
+    merge_changes(table, spark.createDataFrame([ev("k", 100, "live")], CHANGE), batch_id="1")
+    merge_changes(
+        table,
+        spark.createDataFrame([ev("k", 10, None, op="delete")], CHANGE),
+        batch_id="2",
+    )
+    assert "k" in state(table)  # stale delete must not win
+
+
+def test_tombstone_blocks_stale_resurrection(spark, table):
+    # A delete applied first must not be undone by a replayed OLDER upsert
+    # arriving in a later batch: final state is batching-order independent.
+    merge_changes(table, spark.createDataFrame([ev("k", 10, None, op="delete")], CHANGE), batch_id="1")
+    merge_changes(table, spark.createDataFrame([ev("k", 5, "stale")], CHANGE), batch_id="2")
+    assert "k" not in state(table)
+    # ...but a NEWER upsert resurrects the key
+    merge_changes(table, spark.createDataFrame([ev("k", 20, "fresh")], CHANGE), batch_id="3")
+    assert state(table)["k"].text == "fresh"
+
+
+def test_delete_before_insert_tombstone(spark, table):
+    # delete for a never-seen key arrives first; the older insert then loses
+    merge_changes(table, spark.createDataFrame([ev("k", 10, None, op="delete")], CHANGE), batch_id="1")
+    assert "k" not in state(table)
+    merge_changes(table, spark.createDataFrame([ev("k", 3, "early")], CHANGE), batch_id="2")
+    assert "k" not in state(table)
+
+
+def test_delete_then_reinsert(spark, table):
+    merge_changes(table, spark.createDataFrame([ev("k", 1, "v1")], CHANGE), batch_id="1")
+    merge_changes(table, spark.createDataFrame([ev("k", 2, None, op="delete")], CHANGE), batch_id="2")
+    assert "k" not in state(table)
+    merge_changes(table, spark.createDataFrame([ev("k", 3, "v2")], CHANGE), batch_id="3")
+    assert state(table)["k"].text == "v2"
+
+
+def test_idempotent_replay(spark, table):
+    b = spark.createDataFrame([ev("a", 1, "a1"), ev("b", 2, "b1")], CHANGE)
+    merge_changes(table, b, batch_id="same")
+    v = table.snapshot().version
+    res = merge_changes(table, b, batch_id="same")  # replay committed batch
+    assert res.skipped
+    assert table.snapshot().version == v  # no new snapshot
+    assert len(state(table)) == 2
+
+
+def test_snapshot_ids_monotonic(spark, table):
+    for i in range(3):
+        merge_changes(
+            table, spark.createDataFrame([ev(f"k{i}", i, f"v{i}")], CHANGE), batch_id=str(i)
+        )
+    versions = [s.version for s in table.history()]
+    assert versions == sorted(versions) == list(range(len(versions)))
+
+
+def test_partial_update_mode(spark, table):
+    merge_changes(
+        table,
+        spark.createDataFrame([ev("a", 1, "orig", lang="en")], CHANGE),
+        batch_id="1",
+    )
+    # partial update: only text provided -> lang preserved (UpdateGeoMesaRecord)
+    partial_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    b = spark.createDataFrame(
+        [Row(url="a", warc_ts=ts(5), offset=5, text="patched", op="update"),
+         Row(url="nomatch", warc_ts=ts(6), offset=6, text="x", op="update")],
+        partial_schema,
+    )
+    r = merge_changes(table, b, batch_id="2", update_mode="partial")
+    st = state(table)
+    assert st["a"].text == "patched"
+    assert st["a"].lang == "en"  # untouched column survives
+    assert "nomatch" not in st  # no insert fallback
+    assert r.metrics["rejected"] == 1  # counted as failure (:168-170)
+
+
+def test_schema_evolution_additive_update_mode(spark, table):
+    merge_changes(table, spark.createDataFrame([ev("a", 1, "a1")], CHANGE), batch_id="1")
+    evolved = T.StructType(list(CHANGE.fields) + [T.StructField("title", T.StringType())])
+    b = spark.createDataFrame(
+        [Row(url="b", warc_ts=ts(2), offset=2, text="b1", lang="en", op="upsert", title="B!")],
+        evolved,
+    )
+    merge_changes(table, b, batch_id="2", compat_mode=CompatibilityMode.UPDATE)
+    assert "title" in table.schema().fieldNames()
+    st = state(table)
+    assert st["b"].title == "B!"
+    assert st["a"].title is None  # old rows null-padded, no rewrite
+
+
+def test_schema_modes_exact_existing(spark, table):
+    merge_changes(table, spark.createDataFrame([ev("a", 1, "a1")], CHANGE), batch_id="1")
+    evolved = T.StructType(list(CHANGE.fields) + [T.StructField("title", T.StringType())])
+    b = spark.createDataFrame(
+        [Row(url="c", warc_ts=ts(3), offset=3, text="c1", lang="en", op="upsert", title="C")],
+        evolved,
+    )
+    with pytest.raises(SchemaCompatibilityError):
+        merge_changes(table, b, batch_id="2", compat_mode=CompatibilityMode.EXACT)
+    merge_changes(table, b, batch_id="3", compat_mode=CompatibilityMode.EXISTING)
+    assert "title" not in table.schema().fieldNames()  # extra column dropped
+    assert state(table)["c"].text == "c1"
+
+
+def test_type_change_always_errors(spark, table):
+    merge_changes(table, spark.createDataFrame([ev("a", 1, "a1")], CHANGE), batch_id="1")
+    bad = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("text", T.IntegerType()),  # type changed
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    b = spark.createDataFrame([Row(url="a", warc_ts=ts(2), offset=2, text=7, op="upsert")], bad)
+    with pytest.raises(SchemaCompatibilityError):
+        merge_changes(table, b, batch_id="2")
+
+
+def test_missing_column_null_padded(spark, table):
+    merge_changes(table, spark.createDataFrame([ev("a", 1, "a1")], CHANGE), batch_id="1")
+    narrow = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    b = spark.createDataFrame([Row(url="n", warc_ts=ts(2), offset=2, op="upsert")], narrow)
+    merge_changes(table, b, batch_id="2")
+    st = state(table)
+    assert st["n"].text is None and st["n"].lang is None
+
+
+def test_bucket_pruning_in_merge(spark, table):
+    big = spark.createDataFrame([ev(f"u{i}", i, f"t{i}") for i in range(100)], CHANGE)
+    merge_changes(table, big, batch_id="1")
+    files_before = {f.path: f for f in table.snapshot().files}
+    one = spark.createDataFrame([ev("u0", 1000, "patched")], CHANGE)
+    merge_changes(table, one, batch_id="2")
+    snap = table.snapshot()
+    touched = set(snap.summary["touched_buckets"])
+    assert len(touched) == 1  # single-key merge rewrites one bucket
+    for f in snap.files:
+        if f.bucket not in touched:
+            assert f.path in files_before  # untouched buckets carried over
+    assert state(table)["u0"].text == "patched"
+    assert table.scan().count() == 100
