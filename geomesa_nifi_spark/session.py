@@ -10,10 +10,31 @@ round-trips are deterministic.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+_PYFILES_SHIPPED = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers.
+
+    Equivalent to ``spark-submit --py-files geomesa_nifi_spark.zip`` on a
+    real cluster: zip this package and register it via ``addPyFile`` so
+    pandas UDFs deserialize anywhere, regardless of the driver's cwd.
+    """
+    global _PYFILES_SHIPPED
+    if _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(tempfile.gettempdir(), "geomesa_nifi_spark_pyfiles")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="geomesa_nifi_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _PYFILES_SHIPPED = True
 
 
 def get_spark(
@@ -56,4 +77,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark

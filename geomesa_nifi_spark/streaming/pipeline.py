@@ -1,0 +1,127 @@
+"""Checkpoint-resumable CDC replay: Structured Streaming -> extract -> MERGE.
+
+Spark restatement of the reference's streaming contract
+(``GetGeoMesaKafkaRecord.scala``, SURVEY.md §3.3):
+
+  reference                                   here
+  ---------                                   ----
+  max batch size (:382-390)                   maxFilesPerTrigger / maxOffsetsPerTrigger
+  max latency (:392-420)                      trigger processingTime / availableNow
+  consumer group + commit-after-ack           checkpointLocation + ledger batch ids
+    (:298-302)
+  back-pressure Pause (:277-283)              inherent to micro-batch pull model
+
+Exactly-once across crash/restart (SURVEY §7 hard-part 1): Structured
+Streaming may re-deliver the last un-checkpointed micro-batch after a crash;
+each merge commit records ``batch_id = "<pipeline_id>-<epoch_id>"`` in the
+ledger, so the re-delivered batch is recognized and skipped.  The ledger —
+not the checkpoint — is the source of truth for what reached the table.
+
+The same `foreachBatch` body also serves the reference's *dynamic* writer
+(append vs modify chosen per batch, ``FeatureWriters.scala:300-328``): pass
+``write_mode="append"`` for bulk-load phases and the batch goes through the
+no-join append path; the micro-batch boundary is the ordering barrier the
+reference implements with flush-on-switch (:312).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geomesa_nifi_spark.functions.extract import extract_pages
+from geomesa_nifi_spark.lake.evolution import CompatibilityMode
+from geomesa_nifi_spark.lake.merge import MergeResult, append_only, merge_changes
+from geomesa_nifi_spark.lake.table import LakeTable
+from geomesa_nifi_spark.streaming.lineage import BatchMetrics, partition_offset_ranges
+
+
+@dataclass
+class ReplayStats:
+    batches: int = 0
+    skipped: int = 0
+    rows: int = 0
+    results: list[dict] = field(default_factory=list)
+
+
+def run_file_replay(
+    spark: SparkSession,
+    table: LakeTable,
+    source_dir: str,
+    checkpoint_dir: str,
+    pipeline_id: str = "cdc",
+    max_files_per_trigger: int = 1,
+    extract: bool = True,
+    write_mode: str = "merge",
+    compat_mode: CompatibilityMode = CompatibilityMode.UPDATE,
+    dedup_strategy: str = "maxby",
+    metrics_path: str | None = None,
+    collect_metrics: bool = True,
+    fail_after_batches: int | None = None,
+) -> ReplayStats:
+    """Replay parquet change files through the CDC pipeline until drained.
+
+    Uses ``Trigger.AvailableNow`` so one call processes everything currently
+    in ``source_dir`` in rate-limited micro-batches and stops — re-invoking
+    with the same checkpoint resumes exactly where the last run (or crash)
+    left off.  ``fail_after_batches`` injects a mid-stream crash for the
+    resumability tests.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    stats = ReplayStats()
+    metrics = BatchMetrics(metrics_path)
+
+    class _InjectedFailure(RuntimeError):
+        pass
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        metrics.batch_start()
+        if fail_after_batches is not None and stats.batches >= fail_after_batches:
+            raise _InjectedFailure(f"injected crash before epoch {epoch_id}")
+        batch_id = f"{pipeline_id}-{epoch_id}"
+        offset_ranges = partition_offset_ranges(batch)
+        prepared = extract_pages(batch) if extract else batch
+        prepared = prepared.drop("partition") if "partition" in prepared.columns else prepared
+        lineage = {"offset_ranges": offset_ranges, "epoch_id": epoch_id}
+        if write_mode == "append":
+            result: MergeResult = append_only(table, prepared, batch_id=batch_id, lineage=lineage)
+        else:
+            result = merge_changes(
+                table,
+                prepared,
+                batch_id=batch_id,
+                compat_mode=compat_mode,
+                dedup_strategy=dedup_strategy,
+                lineage=lineage,
+                collect_metrics=collect_metrics,
+            )
+        rows = sum(r["rows"] for r in offset_ranges) if offset_ranges else 0
+        stats.batches += 1
+        stats.skipped += 1 if result.skipped else 0
+        stats.rows += rows
+        stats.results.append(
+            metrics.batch_end(batch_id, rows, {"skipped": result.skipped, **result.metrics})
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    except Exception as exc:  # surface only real failures, not the injected one
+        if "_InjectedFailure" not in str(type(exc)) and "injected crash" not in str(exc):
+            raise
+    finally:
+        if query.isActive:
+            query.stop()
+    return stats

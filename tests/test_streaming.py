@@ -1,0 +1,113 @@
+"""Streaming replay: checkpointed resume, crash-recovery exactly-once,
+batch-size control, lineage records."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.functions.extract import extract_pages
+from geomesa_nifi_spark.lake import LakeTable
+from geomesa_nifi_spark.operators.dedup import lww_dedup
+from geomesa_nifi_spark.sources.changegen import change_stream, write_replay_files
+from geomesa_nifi_spark.streaming.lineage import lineage_records
+from geomesa_nifi_spark.streaming.pipeline import run_file_replay
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+N_EVENTS = 600
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream") / "changes"
+    events = change_stream(spark, N_EVENTS, n_keys=120, seed=11)
+    files = write_replay_files(events, str(d), n_files=6)
+    assert len(files) == 6
+    return str(d)
+
+
+def expected_final_count(spark, replay_dir):
+    events = spark.read.parquet(replay_dir)
+    final = lww_dedup(events, "url", ["warc_ts", "offset"], strategy="window")
+    return final.filter(F.col("op") != "delete").count()
+
+
+def make_table(spark, tmp_path, name="pages"):
+    return LakeTable.create(
+        spark, str(tmp_path / name), PAGES,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=8,
+    )
+
+
+def test_full_replay_matches_oracle(spark, tmp_path, replay_dir):
+    t = make_table(spark, tmp_path)
+    stats = run_file_replay(
+        spark, t, replay_dir, str(tmp_path / "ckpt"), pipeline_id="p1",
+        max_files_per_trigger=2,
+    )
+    assert stats.batches == 3  # 6 files / 2 per trigger — batch-size control
+    assert t.scan().count() == expected_final_count(spark, replay_dir)
+    # lineage: every merge commit has per-partition offset ranges
+    recs = [r for r in lineage_records(t) if r["operation"] == "merge"]
+    assert len(recs) == 3
+    for r in recs:
+        assert r["offset_ranges"] and all(
+            x["min_offset"] <= x["max_offset"] for x in r["offset_ranges"]
+        )
+    # offsets across batches cover the full stream exactly once
+    total = sum(x["rows"] for r in recs for x in r["offset_ranges"])
+    assert total == N_EVENTS
+
+
+def test_crash_resume_exactly_once(spark, tmp_path, replay_dir):
+    """Kill mid-stream after 2 batches; restart must finish the replay and
+    produce the identical final state, with no double-applied batch."""
+    t = make_table(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    stats1 = run_file_replay(
+        spark, t, replay_dir, ckpt, pipeline_id="p1", fail_after_batches=2
+    )
+    assert stats1.batches == 2  # crashed before batch 3
+    mid_versions = t.snapshot().version
+
+    stats2 = run_file_replay(spark, t, replay_dir, ckpt, pipeline_id="p1")
+    assert t.scan().count() == expected_final_count(spark, replay_dir)
+    # the ledger recorded each epoch exactly once
+    bids = [r["batch_id"] for r in lineage_records(t) if r["batch_id"]]
+    assert len(bids) == len(set(bids)) == 6
+    assert mid_versions < t.snapshot().version
+
+
+def test_restarted_checkpoint_skips_committed_batches(spark, tmp_path, replay_dir):
+    """Blow away the checkpoint entirely: Structured Streaming re-delivers
+    everything, the ledger's batch ids make the re-delivery a no-op."""
+    t = make_table(spark, tmp_path)
+    run_file_replay(spark, t, replay_dir, str(tmp_path / "ck1"), pipeline_id="p1")
+    v = t.snapshot().version
+    n = t.scan().count()
+    stats = run_file_replay(spark, t, replay_dir, str(tmp_path / "ck2"), pipeline_id="p1")
+    assert stats.skipped == stats.batches > 0
+    assert t.snapshot().version == v  # no new commits
+    assert t.scan().count() == n
+
+
+def test_append_mode_stream(spark, tmp_path, replay_dir):
+    t = make_table(spark, tmp_path)
+    stats = run_file_replay(
+        spark, t, replay_dir, str(tmp_path / "ckpt"), pipeline_id="bulk",
+        write_mode="append", extract=True,
+    )
+    # append keeps every non-null event row (no dedup, no delete handling)
+    events = spark.read.parquet(replay_dir)
+    assert t.scan().count() == events.count()
