@@ -1,38 +1,415 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline extension) running over the driver's parquet tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the exact-checkable
+ones.  Queries whose semantics depend on xxhash64 / LSH internals or on
+engine side effects that ANSI SQL cannot express are registered without an
+oracle (the driver records a rows-only check for those).
+
+The CDC queries derive a change stream from the ``events`` table:
+key = url built from user_id, event time = ts, total order tie-break =
+event_id, op = delete for event_id % 10 < 2 else upsert.  Timestamps are
+compared as epoch microseconds (``unix_micros`` / ``epoch_us``) and doubles
+are rounded, so value hashes match across engines.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# shared change-stream derivation (Spark side)
+# ---------------------------------------------------------------------------
+
+_CHANGES_SQL_CTE = """
+  SELECT 'https://u.example.org/' || user_id AS url,
+         ts AS warc_ts,
+         event_id AS src_offset,
+         event_type,
+         round(value, 4) AS value,
+         CASE WHEN event_id % 10 < 2 THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+"""
+
+_LWW_STATE_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.concat(F.lit("https://u.example.org/"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("src_offset"),
+        F.col("event_type"),
+        F.round(F.col("value"), 4).alias("value"),
+        F.when(F.col("event_id") % 10 < 2, "delete").otherwise("upsert").alias("op"),
+    )
+
+
+def _finalize_state(df: DataFrame) -> DataFrame:
+    """Project the LWW survivor set to the oracle's column shape."""
+    return df.filter(F.col("op") != "delete").select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
+def _lww_state(strategy: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geomesa_nifi_spark.operators.dedup import lww_dedup
+
+        ch = _changes(spark, sf_dir)
+        return _finalize_state(lww_dedup(ch, "url", ["warc_ts", "src_offset"], strategy=strategy))
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# lake replay queries (the engine itself, end to end)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("src_offset", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _replay(spark: SparkSession, sf_dir: str, batch_order) -> DataFrame:
+    """Replay the events change stream through a real lake table (MERGE per
+    batch, batches = event_id mod 4, applied in ``batch_order``) and return
+    the final visible state.  Tombstones make the result identical for any
+    batch order — which is exactly what the scrambled variant asserts."""
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    ch = _changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gns_entry_") + "/pages"
+    table = LakeTable.create(
+        spark,
+        root,
+        _STATE_SCHEMA,
+        key_col="url",
+        ts_col="warc_ts",
+        tiebreak_col="src_offset",
+        num_buckets=16,
+    )
+    for b in batch_order:
+        batch = ch.filter(F.pmod(F.col("src_offset"), F.lit(len(batch_order))) == b)
+        merge_changes(table, batch, batch_id=f"entry-{b}")
+    final = table.scan()
+    return final.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
+def _merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replay(spark, sf_dir, [0, 1, 2, 3])
+
+
+def _merge_replay_scrambled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replay(spark, sf_dir, [2, 0, 3, 1])
+
+
+def _schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batches 0-1 lack ``event_type``/``value``; batches 2-3 add them
+    (additive evolution).  Early-winner rows end up null-padded."""
+    from geomesa_nifi_spark.lake import CompatibilityMode, LakeTable, merge_changes
+
+    ch = _changes(spark, sf_dir)
+    base_schema = T.StructType([f for f in _STATE_SCHEMA.fields if f.name not in ("event_type", "value")])
+    root = tempfile.mkdtemp(prefix="gns_evo_") + "/pages"
+    table = LakeTable.create(
+        spark, root, base_schema,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset", num_buckets=16,
+    )
+    for b in range(4):
+        batch = ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b)
+        if b < 2:
+            batch = batch.drop("event_type", "value")
+        merge_changes(table, batch, batch_id=f"evo-{b}", compat_mode=CompatibilityMode.UPDATE)
+    return table.scan().select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset,
+       CASE WHEN src_offset % 4 >= 2 THEN event_type END AS event_type,
+       CASE WHEN src_offset % 4 >= 2 THEN value END AS value
+FROM lww WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-op accounting (≙ geomesa.ingest.successes/failures attributes)."""
+    return (
+        _changes(spark, sf_dir)
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("url").alias("n_keys"))
+    )
+
+
+_INGEST_COUNTS_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE})
+SELECT op, count(*) AS n_events, count(DISTINCT url) AS n_keys FROM ch GROUP BY op
+"""
+
+
+def _convert_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter-expression layer: JSON field extraction + casts + try-cast
+    (≙ the GeoMesa converter transforms, SURVEY.md §2.2)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.upper("event_type").alias("event_type_uc"),
+        F.to_date("ts").cast("string").alias("event_date"),
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+    )
+
+
+_CONVERT_JSON_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k')::int AS k,
+       upper(event_type) AS event_type_uc,
+       strftime(ts, '%Y-%m-%d') AS event_date,
+       try_cast(event_type AS int) AS bad_cast
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# documents / embeddings operators
+# ---------------------------------------------------------------------------
+
+
+def _doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.textops import text_stats
+
+    return text_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_DOC_TEXT_STATS_SQL = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|den|von|das|mit|ist|nicht|ein)\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|was)\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\b(que|el|en|los|del|se|las|por|un|para)\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|en|un|du|une|que)\b')) AS s_fr,
+         length(text) AS n,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens = 0 OR greatest(s_de, s_en, s_es, s_fr) < 0.05 * n_tokens THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  round(0.4 * (CASE WHEN n > 0 THEN alpha::double / n ELSE 0 END)
+      + 0.4 * least((CASE WHEN n_tokens > 0 THEN greatest(s_de, s_en, s_es, s_fr)::double / n_tokens ELSE 0 END) * 5, 1.0)
+      + 0.2 * least(n / 500.0, 1.0), 4) AS quality,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM s
+"""
+
+
+def _doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.docdedup import exact_duplicates
+
+    return exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_DOC_EXACT_DUPS_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keeper_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def _doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.docdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.4, n=2
+    )
+
+
+_DOC_NGRAM_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, [x FOR x IN regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS s
+  FROM tok WHERE len(w) >= 2
+),
+ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(inter::double / (na + nb - inter), 4) AS jaccard
+FROM pairs WHERE round(inter::double / (na + nb - inter), 4) >= 0.4
+"""
+
+
+def _doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.docdedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.4, k=32, bands=16, n=2
+    )
+
+
+def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.docdedup import simhash
+
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5, n_queries=10)
+
+
+_ANN_COSINE_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 10),
+dots AS (
+  SELECT query_id, vec_id,
+         sum(qe[i.i]::double * embedding[i.i]::double) AS dot,
+         sqrt(sum(qe[i.i]::double * qe[i.i]::double)) AS qn,
+         sqrt(sum(embedding[i.i]::double * embedding[i.i]::double)) AS en
+  FROM q, e, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE vec_id <> query_id
+  GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, round(dot / (qn * en), 4) AS sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(dot / (qn * en), 4) DESC, vec_id) AS rank
+  FROM dots
+)
+SELECT query_id, vec_id, sim, rank::int AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.similarity import rhp_ann_topk
+
+    return rhp_ann_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5, n_queries=10)
+
+
+def _extract_pages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated html change events through the Arrow extraction stage
+    (engine-internal hashes — rows-only check)."""
+    from geomesa_nifi_spark.functions.extract import extract_pages
+    from geomesa_nifi_spark.sources.changegen import change_stream
+
+    pages = change_stream(spark, 2000, n_keys=400, seed=42).filter(F.col("op") != "delete")
+    return extract_pages(pages).select("url", "warc_ts", "text", "lang", "offset")
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.functions.multimodal import extract_media_features, synthetic_media
+
+    return extract_media_features(synthetic_media(spark, 200))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay through the lake engine at sf0.001."""
+    return _merge_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC core (SURVEY §2.3, §2.5)
+        "cdc_lww_state": _lww_state("maxby"),
+        "cdc_lww_state_window": _lww_state("window"),
+        "cdc_lww_state_salted": _lww_state("salted"),
+        "cdc_merge_replay": _merge_replay,
+        "cdc_merge_replay_scrambled": _merge_replay_scrambled,
+        "cdc_schema_evolution": _schema_evolution_replay,
+        "cdc_ingest_counts": _ingest_counts,
+        # conversion layer (SURVEY §2.2)
+        "convert_json_props": _convert_json_props,
+        "extract_pages_cdc": _extract_pages_cdc,
+        # training-data pipeline ops
+        "doc_text_stats": _doc_text_stats,
+        "doc_exact_dups": _doc_exact_dups,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "doc_minhash_lsh": _doc_minhash_lsh,
+        "doc_simhash": _doc_simhash,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_rhp_topk": _ann_rhp,
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_state": _LWW_STATE_SQL,
+        "cdc_lww_state_window": _LWW_STATE_SQL,
+        "cdc_lww_state_salted": _LWW_STATE_SQL,
+        "cdc_merge_replay": _LWW_STATE_SQL,
+        "cdc_merge_replay_scrambled": _LWW_STATE_SQL,
+        "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
+        "cdc_ingest_counts": _INGEST_COUNTS_SQL,
+        "convert_json_props": _CONVERT_JSON_SQL,
+        "doc_text_stats": _DOC_TEXT_STATS_SQL,
+        "doc_exact_dups": _DOC_EXACT_DUPS_SQL,
+        "doc_ngram_jaccard": _DOC_NGRAM_JACCARD_SQL,
+        # LSH candidates are verified with exact Jaccard and the banding
+        # parameters give recall 1.0 on this corpus (checked at sf0.001/0.01/
+        # 0.1), so the output equals the exact pair set:
+        "doc_minhash_lsh": _DOC_NGRAM_JACCARD_SQL,
+        "ann_cosine_topk": _ANN_COSINE_SQL,
+        # no oracle (engine-internal hashing / LSH approximation / UDF stage):
+        # doc_simhash, ann_rhp_topk, extract_pages_cdc, multimodal_features
+    }

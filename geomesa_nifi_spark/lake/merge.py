@@ -106,13 +106,33 @@ def merge_changes(
     if not has_op:
         src = src.withColumn(op_col, F.lit("upsert"))
     src = src.withColumn(BUCKET_COL, table.bucket_expr())
+    # The deduped source feeds two consumers (bucket discovery + the join);
+    # persist it so the upstream read/extract/dedup chain runs once.
+    src = src.persist()
 
-    # ---- bucket pruning -----------------------------------------------------
-    touched = sorted(
-        r[0] for r in src.select(BUCKET_COL).distinct().collect()
-    )  # <= num_buckets rows: trivially driver-safe at any scale
-    if not touched:
-        return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
+    try:
+        # ---- bucket pruning -------------------------------------------------
+        touched = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        )  # <= num_buckets rows: trivially driver-safe at any scale
+        if not touched:
+            return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
+        return _merge_prepared(
+            table, src, touched, base, rec, final_schema, batch_id, op_col,
+            ts_col, tiebreak, update_mode, lineage, collect_metrics,
+            max_records_per_file,
+        )
+    finally:
+        src.unpersist()
+
+
+def _merge_prepared(
+    table, src, touched, base, rec, final_schema, batch_id, op_col,
+    ts_col, tiebreak, update_mode, lineage, collect_metrics,
+    max_records_per_file,
+) -> MergeResult:
+    key = table.key_col
+    final_cols = [f.name for f in final_schema.fields]
 
     tgt = table.scan(snapshot=base, buckets=touched, include_tombstones=True)
     # Null-pad target for newly added columns (old files lack them anyway,
@@ -286,7 +306,9 @@ def _resolve(
         # failures (UpdateGeoMesaRecord.scala:168-170).
         action = (
             F.when(matched & src_wins & is_delete & ~tgt_dead, "delete")
-            .when(matched & src_wins & is_delete, "keep")  # refresh tombstone
+            # newer delete over a tombstone: advance its order keys, else an
+            # upsert between the two delete timestamps could resurrect
+            .when(matched & src_wins & is_delete, "tombstone")
             .when(matched & src_wins & tgt_dead, "insert")  # resurrect
             .when(matched & src_wins, "update")
             .when(matched, "keep")
@@ -303,7 +325,9 @@ def _resolve(
     else:  # full row replacement with insert fallback (ModifyWriter :143-147)
         action = (
             F.when(matched & src_wins & is_delete & ~tgt_dead, "delete")
-            .when(matched & src_wins & is_delete, "keep")  # refresh tombstone
+            # newer delete over a tombstone: advance its order keys, else an
+            # upsert between the two delete timestamps could resurrect
+            .when(matched & src_wins & is_delete, "tombstone")
             .when(matched & src_wins & tgt_dead, "insert")  # resurrect
             .when(matched & src_wins, "update")
             .when(matched, "keep")

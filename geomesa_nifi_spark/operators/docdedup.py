@@ -1,0 +1,221 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes (the point of each variant at 100 TB):
+
+* exact: one hash-groupBy on a 32-char fingerprint — map-side combined,
+  shuffle carries (fingerprint, partial min/count) only.
+* n-gram Jaccard: exact pairwise similarity via an inverted-index self-join
+  on shingles.  Quadratic in the worst case — the *verifier*, not the
+  candidate generator, at scale.
+* MinHash+LSH: the scale path.  Signatures are k min-hashes (one groupBy),
+  banding turns "similar" into "equal" so candidate generation is an
+  equi-join on (band, band_hash) — linear-ish, skew handled by AQE.
+  Candidates are then verified with exact Jaccard.
+* SimHash: 48-bit signed-projection sketch; near-dup = small Hamming
+  distance (bit_count(a ^ b)), cheap to index/block on.
+
+Everything is built-in expressions (xxhash64 as the hash family — codegen,
+no Python).  Shingling uses ``F.slice`` over the token array inside
+``transform(sequence(...))`` — no explode until the inverted index needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens_col(text, min_len: int = 1):
+    arr = F.split(F.lower(text), TOKEN_SPLIT)
+    return F.filter(arr, lambda x: F.length(x) >= min_len)
+
+
+def shingles_col(tokens, n: int):
+    """Distinct word n-grams as strings; empty array when too short."""
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by normalized-content fingerprint; keep the smallest id as the
+    canonical representative (deterministic)."""
+    from geomesa_nifi_spark.operators.textops import normalized_fingerprint
+
+    return (
+        df.select(F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(tokens_col(F.col(text_col)), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    return sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, via inverted-index
+    self-join (pairs that share no shingle never materialize)."""
+    ex = _shingle_index(df, text_col, id_col, n)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.round(jac, 4) >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 32, n: int = 2, text_col: str = "text", id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash over shingles: signature[j] = min xxhash64(sh, j).
+
+    Computed without explode: per row, transform the shingle array by each
+    hash seed and take array_min — k codegen'd passes over an in-memory
+    array beats a k-way shuffle every time.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(tokens_col(F.col(text_col)), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    def _perm(j: int):
+        # closure factory: a default-arg lambda would be read as the
+        # two-argument (value, index) transform variant
+        return lambda s: F.xxhash64(s, F.lit(seed), F.lit(j))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("shingles"), _perm(j))) for j in range(k)]
+    )
+    return sh.select("doc_id", F.size("shingles").alias("n_sh"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    k: int = 32,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """LSH banding: docs agreeing on any band become candidates; candidates
+    are verified with exact Jaccard when ``verify`` (the production shape:
+    cheap recall, exact precision)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)], F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return cands
+    # Verify ONLY the candidates: join each pair to its two shingle arrays
+    # and intersect in-memory (array_intersect), instead of re-running the
+    # whole-corpus inverted-index join — candidates are O(near-dups), so this is
+    # linear in the LSH output, not quadratic in the corpus.
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(tokens_col(F.col(text_col)), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    joined = cands.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 48  # < 63 keeps the recomposed signature in a positive long
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """SimHash over tokens: per bit, sum of ±1 votes from each token's hash;
+    bit set iff the vote is positive.  Pure aggregate — no explode needed:
+    votes are computed per-document over the token array."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+
+    def _hashes():
+        return F.transform(F.col("toks"), lambda t: F.xxhash64(t, F.lit(seed)))
+
+    def _vote(b: int):
+        # closure factory: a default-arg lambda would change the UDF arity
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(_hashes(), F.lit(0), _vote(b)) for b in range(SIMHASH_BITS)
+    ]
+    sig = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig + term
+    return toks.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    sigs = simhash(df, **kw)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
-_PYFILES_SHIPPED = False
+_PYFILES_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -26,15 +26,15 @@ def _ship_package(spark: SparkSession) -> None:
     real cluster: zip this package and register it via ``addPyFile`` so
     pandas UDFs deserialize anywhere, regardless of the driver's cwd.
     """
-    global _PYFILES_SHIPPED
-    if _PYFILES_SHIPPED:
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     zip_base = os.path.join(tempfile.gettempdir(), "geomesa_nifi_spark_pyfiles")
     zip_path = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="geomesa_nifi_spark")
     spark.sparkContext.addPyFile(zip_path)
-    _PYFILES_SHIPPED = True
+    _PYFILES_SHIPPED.add(app_id)
 
 
 def get_spark(
@@ -71,7 +71,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = one JVM: the driver heap IS the executor heap, and it
+        # is fixed at first-JVM-launch — size it for 32 concurrent tasks.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -64,8 +64,16 @@ def change_stream(
     disorder_seconds: int = 120,
     words_min: int = 8,
     words_span: int = 48,
+    payload: str = "html",
 ) -> DataFrame:
-    """Build the deterministic change-event DataFrame (lazy; nothing runs)."""
+    """Build the deterministic change-event DataFrame (lazy; nothing runs).
+
+    ``payload='html'`` emits the raw binary html column (the extraction
+    stage's input, F2 shape).  ``payload='text'`` emits the already-extracted
+    ``text``/``lang`` columns instead — byte-identical to what extraction
+    would produce, but generated JVM-side; used by benchmarks that measure
+    MERGE throughput in isolation.
+    """
     if n_keys is None:
         n_keys = max(n_events // 4, 16)
 
@@ -132,6 +140,22 @@ def change_stream(
     )
 
     partition = F.pmod(F.xxhash64(url, sid), F.lit(n_source_partitions)).cast("int")
+
+    if payload == "text":
+        lang = F.element_at(
+            F.array(*[F.lit(lang_name) for lang_name in _LANG_SLOTS]), lang_idx + 1
+        )
+        body = F.when(op == "delete", F.lit(None).cast("string")).otherwise(text)
+        body_lang = F.when(op == "delete", F.lit(None).cast("string")).otherwise(lang)
+        return df.select(
+            op.alias("op"),
+            url.alias("url"),
+            warc_ts.alias("warc_ts"),
+            body.alias("text"),
+            body_lang.alias("lang"),
+            F.col("id").alias("offset"),
+            partition.alias("partition"),
+        )
 
     return df.select(
         op.alias("op"),

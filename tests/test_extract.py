@@ -65,6 +65,23 @@ def test_generator_roundtrip_and_determinism(spark):
     assert ex.count() == 0
 
 
+def test_text_payload_matches_extraction(spark):
+    """payload='text' must equal what the extraction UDF recovers from
+    payload='html' — the bench shortcut cannot drift from the real path."""
+    via_text = (
+        change_stream(spark, 250, seed=5, payload="text")
+        .filter(F.col("op") != "delete")
+        .select("url", "offset", "text", "lang")
+    )
+    via_html = (
+        extract_pages(change_stream(spark, 250, seed=5))
+        .filter(F.col("op") != "delete")
+        .select("url", "offset", "text", "lang")
+    )
+    assert via_text.exceptAll(via_html).count() == 0
+    assert via_html.exceptAll(via_text).count() == 0
+
+
 def test_generator_skew_exists(spark):
     df = change_stream(spark, 2000, n_keys=500, seed=1)
     top = (

@@ -140,6 +140,15 @@ def test_tombstone_blocks_stale_resurrection(spark, table):
     assert state(table)["k"].text == "fresh"
 
 
+def test_newer_delete_refreshes_tombstone(spark, table):
+    # delete@10 -> tombstone; delete@30 must ADVANCE the tombstone clock so
+    # an upsert@20 replayed afterwards still loses (found via oracle diff)
+    merge_changes(table, spark.createDataFrame([ev("k", 10, None, op="delete")], CHANGE), batch_id="1")
+    merge_changes(table, spark.createDataFrame([ev("k", 30, None, op="delete")], CHANGE), batch_id="2")
+    merge_changes(table, spark.createDataFrame([ev("k", 20, "mid")], CHANGE), batch_id="3")
+    assert "k" not in state(table)
+
+
 def test_delete_before_insert_tombstone(spark, table):
     # delete for a never-seen key arrives first; the older insert then loses
     merge_changes(table, spark.createDataFrame([ev("k", 10, None, op="delete")], CHANGE), batch_id="1")

@@ -1,0 +1,107 @@
+"""Training-data operators: text stats, dedup family, similarity, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geomesa_nifi_spark.functions.multimodal import (
+    FEATURE_DIM,
+    extract_media_features,
+    synthetic_media,
+)
+from geomesa_nifi_spark.operators.docdedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from geomesa_nifi_spark.operators.similarity import cosine_topk, rhp_ann_topk
+from geomesa_nifi_spark.operators.textops import text_stats
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(rows)])
+
+
+def test_exact_duplicates(spark):
+    df = docs_df(spark, [
+        "The cat sat on the mat",
+        "the cat  sat on the MAT!!",   # same after normalization
+        "a completely different document",
+    ])
+    out = exact_duplicates(df).collect()
+    groups = {r.fingerprint: (r.keeper_id, r.n_docs) for r in out}
+    assert sorted(n for _, n in groups.values()) == [1, 2]
+    dup = [v for v in groups.values() if v[1] == 2][0]
+    assert dup[0] == 0  # smallest id kept
+
+
+def test_ngram_jaccard_and_minhash_agree(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    far = "one two three four five six seven eight nine ten"
+    df = docs_df(spark, [base, near, far])
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df, 0.4, 2).collect()}
+    assert set(exact) == {(0, 1)}
+    assert 0.7 < exact[(0, 1)] < 1.0
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(df, 0.4, 32, 16, 2).collect()}
+    assert lsh == exact  # verified candidates == exact pairs
+
+
+def test_simhash_properties(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "lambda")
+    far = "one two three four five six seven eight nine ten " * 4
+    df = docs_df(spark, [base, near, far])
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert all(s >= 0 for s in sigs.values())  # fits in positive long
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(df, max_hamming=12).collect()}
+    assert (0, 1) in pairs  # near-dup within hamming budget
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_text_stats_shape(spark):
+    df = docs_df(spark, ["the cat and the dog went to the house", ""])
+    out = {r.doc_id: r for r in text_stats(df).collect()}
+    assert out[0].lang_pred == "en"
+    assert out[0].n_tokens == 9
+    assert 0.0 <= out[0].quality <= 1.0
+    assert out[1].lang_pred == "und" and out[1].n_tokens == 0
+    assert len(out[0].fingerprint) == 32
+
+
+def test_cosine_topk_and_rhp(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, n_queries=5)
+    rows = exact.collect()
+    assert len(rows) == 25
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)
+    # ANN results are a subset relation: every ANN hit's sim must be <= the
+    # exact top-1 and the hit must exist in the corpus ranking
+    ann = rhp_ann_topk(emb, k=5, n_queries=5)
+    ann_rows = ann.collect()
+    exact_best = {q: max(r.sim for r in rs) for q, rs in by_q.items()}
+    for r in ann_rows:
+        assert r.sim <= exact_best[r.query_id] + 1e-9
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 50)
+    out = extract_media_features(media)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert all(0.0 <= f < 1.0 for f in r.features)
+        assert len(r.content_sha) == 64 and r.n_bytes > 0
+    # determinism across runs
+    again = {r.media_id: r.features for r in extract_media_features(media).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
