@@ -1,0 +1,264 @@
+"""Converter-config -> DataFrame compiler.
+
+The reference ingests untyped byte streams through declarative *converter*
+configs (GeoMesa convert library, configured in the NiFi processors): field
+extraction by position/path plus an expression language —
+``$1::int``, ``date('yyyy-MM-dd', $4)``, ``concat($1, $2)``,
+``try(expr, null)``, ``lineNo()`` — applied per record
+(``mixins/ConvertInputProcessor.scala:81-129``; example configs
+``geomesa-accumulo-bundle/.../test/resources/application.conf``
+``example-csv``/``example-csv-attributes``).
+
+This module compiles the same *shape* of config into a Spark read + select:
+the fields become column expressions that Catalyst folds/pushes down, the
+per-record loop disappears, and error isolation becomes PERMISSIVE-mode
+corrupt-record routing (≙ LogErrors / RaiseErrors,
+``ConvertInputProcessor.scala:175-182``).
+
+Config model (dialect-neutral dict, mirroring the reference's HOCON keys):
+
+    {
+      "type": "delimited-text" | "json",
+      "id-field": "md5(string2bytes($fid))" -> expression over fields,
+      "fields": [
+        {"name": "fid",  "transform": "$1::int"},
+        {"name": "dtg",  "transform": "date('yyyy-MM-dd', $4)"},
+        {"name": "name", "transform": "$2", "json-path": "$.name"},
+      ],
+      "options": {"error-mode": "log-errors" | "raise-errors"}
+    }
+
+Transform language supported (the subset the reference's test configs use):
+``$N`` positional field, ``$name``, ``::int/::long/::double/::float/
+::boolean/::string`` casts, ``date(fmt, x)``, ``dateTime(x)``,
+``concat(a,b,...)``, ``try(expr, default)``, ``md5(x)``,
+``string2bytes(x)``, ``toString(x)``, ``lineNo()``, string literals.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+class ConverterError(ValueError):
+    pass
+
+
+# --- tiny recursive-descent parser for the transform language ---------------
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) | (?P<comma>,) |
+        (?P<cast>::(?:int|long|double|float|boolean|string)) |
+        (?P<str>'[^']*') |
+        (?P<num>-?\d+(?:\.\d+)?) |
+        (?P<ref>\$[A-Za-z_0-9]+) |
+        (?P<name>[A-Za-z_][A-Za-z_0-9]*)
+    )""",
+    re.VERBOSE,
+)
+
+_CAST_TYPES = {
+    "::int": "int",
+    "::long": "long",
+    "::double": "double",
+    "::float": "float",
+    "::boolean": "boolean",
+    "::string": "string",
+}
+
+
+def _tokenize(s: str):
+    pos = 0
+    out = []
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            raise ConverterError(f"bad transform syntax at {s[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+class _Parser:
+    """expr := primary (cast)* ; primary := literal | ref | fn '(' args ')'"""
+
+    def __init__(self, tokens, resolve_ref):
+        self.toks = tokens
+        self.i = 0
+        self.resolve_ref = resolve_ref
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self, kind=None):
+        k, v = self.peek()
+        if kind and k != kind:
+            raise ConverterError(f"expected {kind}, got {k} {v!r}")
+        self.i += 1
+        return k, v
+
+    def parse(self) -> Column:
+        col = self._expr()
+        if self.i != len(self.toks):
+            raise ConverterError(f"trailing tokens: {self.toks[self.i:]}")
+        return col
+
+    def _expr(self) -> Column:
+        col = self._primary()
+        while self.peek()[0] == "cast":
+            _, cast = self.take()
+            # try_cast, not cast: one malformed record must route to the
+            # failure output, not abort the job (LogErrors semantics,
+            # ConvertInputProcessor.scala:175-182; Spark 4 is ANSI by
+            # default, where a plain cast would throw).
+            col = col.try_cast(_CAST_TYPES[cast])
+        return col
+
+    def _primary(self) -> Column:
+        k, v = self.take()
+        if k == "str":
+            return F.lit(v[1:-1])
+        if k == "num":
+            return F.lit(float(v) if "." in v else int(v))
+        if k == "ref":
+            return self.resolve_ref(v[1:])
+        if k == "name":
+            return self._call(v)
+        raise ConverterError(f"unexpected token {v!r}")
+
+    def _call(self, fn: str) -> Column:
+        self.take("lparen")
+        args: list[Column] = []
+        raw_args: list = []
+        if self.peek()[0] != "rparen":
+            while True:
+                start = self.i
+                args.append(self._expr())
+                raw_args.append(self.toks[start:self.i])
+                k, _ = self.take()
+                if k == "rparen":
+                    break
+                if k != "comma":
+                    raise ConverterError(f"expected , or ) in {fn}(...)")
+        else:
+            self.take("rparen")
+
+        if fn == "concat":
+            return F.concat(*[a.cast("string") for a in args])
+        if fn == "date":
+            # date('yyyy-MM-dd', $x) — Java pattern works verbatim in Spark;
+            # try_ variant so malformed dates null out (row-level isolation)
+            lit = raw_args[0][0]
+            if lit[0] != "str":
+                raise ConverterError("date() needs a literal pattern")
+            return F.try_to_timestamp(args[1], F.lit(lit[1][1:-1]))
+        if fn == "dateTime":
+            return F.try_to_timestamp(args[0])
+        if fn == "try":
+            # try(expr, default): null-safe evaluation — Spark expressions
+            # already yield null on cast/parse failure (ANSI off), so this
+            # compiles to coalesce
+            return F.coalesce(args[0], args[1]) if len(args) > 1 else args[0]
+        if fn == "md5":
+            return F.md5(args[0])
+        if fn == "string2bytes":
+            return args[0].cast("string").cast("binary")
+        if fn == "toString":
+            return args[0].cast("string")
+        if fn == "lineNo":
+            return F.monotonically_increasing_id()
+        raise ConverterError(f"unknown transform function {fn}()")
+
+
+def compile_transform(expr: str, resolve_ref) -> Column:
+    return _Parser(_tokenize(expr), resolve_ref).parse()
+
+
+# --- converter application ---------------------------------------------------
+
+
+def apply_converter(
+    spark: SparkSession,
+    config: dict,
+    path: str | None = None,
+    df: DataFrame | None = None,
+    attributes: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read + convert per the config; returns typed rows plus ``__fid``.
+
+    ``attributes`` plays the FlowFile-attribute role: values are exposed to
+    transforms as ``$attr_name`` references (constant-folded by Catalyst,
+    ≙ ``ConvertInputProcessor.scala:107-114``).
+    """
+    ctype = config.get("type", "delimited-text")
+    options = config.get("options", {})
+    if df is None:
+        if path is None:
+            raise ConverterError("need a path or a DataFrame")
+        if ctype == "delimited-text":
+            reader = (
+                spark.read.option("header", str(options.get("header", False)).lower())
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            )
+            delim = options.get("delimiter", ",")
+            df = reader.option("delimiter", delim).csv(path, inferSchema=False)
+            df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
+        elif ctype == "json":
+            df = (
+                spark.read.option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                .json(path)
+            )
+        else:
+            raise ConverterError(f"unsupported converter type {ctype}")
+
+    attrs = attributes or {}
+
+    def resolve(ref: str) -> Column:
+        if ref.isdigit():  # $1 = first field (1-based, like the reference)
+            idx = int(ref)
+            if ctype == "delimited-text":
+                return F.col(f"_c{idx - 1}")
+            raise ConverterError("positional refs only valid for delimited-text")
+        if ref == "0":
+            raise ConverterError("$0 (whole record) not supported")
+        if ref in attrs:
+            return F.lit(attrs[ref])
+        return F.col(ref)
+
+    cols = []
+    for field in config.get("fields", []):
+        name = field["name"]
+        if "json-path" in field and ctype == "json":
+            src = F.get_json_object(F.to_json(F.struct(*df.columns)), field["json-path"])
+            cols.append(src.alias(name))
+            continue
+        transform = field.get("transform", f"${name}")
+        cols.append(compile_transform(transform, resolve).alias(name))
+
+    if "id-field" in config:
+        cols.append(compile_transform(config["id-field"], resolve).alias("__fid"))
+
+    out = df.select(*cols)
+    return out
+
+
+def split_errors(df: DataFrame, required: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Error-isolating row routing (≙ per-record try/catch,
+    ``PutGeoMesaRecord.scala:93-124``): rows with any required field null
+    go to the failure output; the rest to success."""
+    cond = None
+    for c in required:
+        this = F.col(c).isNotNull()
+        cond = this if cond is None else (cond & this)
+    good = df.filter(cond) if cond is not None else df
+    bad = df.filter(~cond) if cond is not None else df.limit(0)
+    return good, bad

@@ -10,5 +10,10 @@ from geomesa_nifi_spark.lake.ledger import (  # noqa: F401
     Ledger,
     Snapshot,
 )
-from geomesa_nifi_spark.lake.merge import MergeResult, append_only, merge_changes  # noqa: F401
+from geomesa_nifi_spark.lake.merge import (  # noqa: F401
+    MergeResult,
+    append_only,
+    compact,
+    merge_changes,
+)
 from geomesa_nifi_spark.lake.table import BUCKET_COL, LakeTable  # noqa: F401

@@ -36,18 +36,29 @@ SNAPSHOT_FMT = "v{:012d}.json"
 
 @dataclass(frozen=True)
 class DataFile:
-    """One immutable parquet data file tracked by the ledger."""
+    """One immutable parquet data file tracked by the ledger.
+
+    ``kind``: "base" files hold resolved state; "delta" files hold
+    merge-on-read change rows (including tombstones) that readers reduce
+    with last-writer-wins at scan time until compaction folds them in.
+    """
 
     path: str  # relative to the table root
     bucket: int  # hash-bucket of the key column this file holds
     rows: int
+    kind: str = "base"
 
     def to_json(self) -> dict[str, Any]:
-        return {"path": self.path, "bucket": self.bucket, "rows": self.rows}
+        return {"path": self.path, "bucket": self.bucket, "rows": self.rows, "kind": self.kind}
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
-        return DataFile(path=d["path"], bucket=int(d["bucket"]), rows=int(d["rows"]))
+        return DataFile(
+            path=d["path"],
+            bucket=int(d["bucket"]),
+            rows=int(d["rows"]),
+            kind=d.get("kind", "base"),
+        )
 
 
 @dataclass

@@ -70,6 +70,8 @@ def merge_changes(
     lineage: dict | None = None,
     collect_metrics: bool = True,
     max_records_per_file: int = 2_000_000,
+    mode: str = "cow",
+    auto_compact: bool = True,
 ) -> MergeResult:
     """Apply a batch of change events to the table, exactly once.
 
@@ -77,6 +79,16 @@ def merge_changes(
     (default op is upsert when absent), the table's ``ts_col`` (+ optional
     ``tiebreak_col``) for LWW ordering, plus any subset of data columns.
     Extra columns trigger schema reconciliation per ``compat_mode``.
+
+    ``mode``:
+      * ``"cow"`` — copy-on-write: join against the touched buckets and
+        rewrite them.  Read-optimal; write cost grows with table locality.
+      * ``"mor"`` — merge-on-read: append the deduped batch (including
+        tombstones) as *delta* files, no target read at all.  Write cost is
+        O(batch); readers resolve LWW across base+deltas until
+        ``auto_compact`` folds buckets whose delta count exceeds the table
+        property ``mor.compact.deltas`` (default 8).  This is what keeps a
+        10^10-event replay from rewriting the table once per batch.
     """
     key = table.key_col
     ts_col = table.ts_col
@@ -106,10 +118,20 @@ def merge_changes(
     if not has_op:
         src = src.withColumn(op_col, F.lit("upsert"))
     src = src.withColumn(BUCKET_COL, table.bucket_expr())
+
+    if mode == "mor":
+        # No target read and no bucket-discovery job: the single action is
+        # the delta write itself; touched buckets fall out of the file list.
+        if update_mode != "full":
+            raise ValueError("merge-on-read supports full-row upserts only")
+        return _merge_mor(
+            table, src, base, rec, final_schema, batch_id, op_col,
+            lineage, max_records_per_file, auto_compact,
+        )
+
     # The deduped source feeds two consumers (bucket discovery + the join);
     # persist it so the upstream read/extract/dedup chain runs once.
     src = src.persist()
-
     try:
         # ---- bucket pruning -------------------------------------------------
         touched = sorted(
@@ -124,6 +146,90 @@ def merge_changes(
         )
     finally:
         src.unpersist()
+
+
+def _merge_mor(
+    table, src, base, rec, final_schema, batch_id, op_col,
+    lineage, max_records_per_file, auto_compact,
+) -> MergeResult:
+    """Append the deduped batch as delta files — no target read."""
+    types = {f.name: f.dataType for f in final_schema.fields}
+    out = src.select(
+        *[
+            (F.col(c).cast(t) if c in src.columns else F.lit(None).cast(t)).alias(c)
+            for c, t in types.items()
+        ],
+        (F.col(op_col) == OP_DELETE).alias(DELETED_COL),
+        F.col(BUCKET_COL),
+    )
+    new_files = table.write_files(
+        out, base.version + 1, max_records_per_file, kind="delta"
+    )
+    touched = sorted({f.bucket for f in new_files})
+    if not new_files:
+        return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
+    snap = table.ledger.commit(
+        Snapshot(
+            version=base.version + 1,
+            schema_json=final_schema.json(),
+            files=base.files + new_files,
+            properties=dict(base.properties),
+            summary={
+                "operation": "merge_mor",
+                "batch_id": str(batch_id) if batch_id is not None else None,
+                "touched_buckets": touched,
+                "rows_written": sum(f.rows for f in new_files),
+                "lineage": lineage or {},
+            },
+            parent_version=base.version,
+        )
+    )
+    metrics = {"delta_rows": sum(f.rows for f in new_files)}
+    if auto_compact:
+        threshold = int(snap.properties.get("mor.compact.deltas", "8"))
+        stats = table.delta_stats(snap)
+        due = sorted(b for b, s in stats.items() if s["delta_files"] >= threshold)
+        if due:
+            csnap = compact(table, buckets=due, max_records_per_file=max_records_per_file)
+            metrics["compacted_buckets"] = len(due)
+            return MergeResult(snapshot=csnap, metrics=metrics)
+    return MergeResult(snapshot=snap, metrics=metrics)
+
+
+def compact(
+    table: LakeTable,
+    buckets=None,
+    max_records_per_file: int = 2_000_000,
+    drop_tombstones: bool = False,
+):
+    """Fold delta files into resolved base files for the given buckets.
+
+    Keeps tombstones by default — they still guard against stale replays;
+    ``drop_tombstones`` is for aged cleanup once upstream guarantees no
+    older event can arrive (e.g. retention horizon passed).
+    """
+    base = table.snapshot()
+    if buckets is None:
+        buckets = sorted({f.bucket for f in base.files if f.kind == "delta"})
+    buckets = list(buckets)
+    if not buckets:
+        return base
+    resolved = table.scan(snapshot=base, buckets=buckets, include_tombstones=True)
+    if drop_tombstones:
+        resolved = resolved.filter(~F.col(DELETED_COL))
+    out = resolved.withColumn(BUCKET_COL, table.bucket_expr())
+    new_files = table.write_files(out, base.version + 1, max_records_per_file, kind="base")
+    return table.commit_rewrite(
+        touched_buckets=buckets,
+        new_files=new_files,
+        summary={
+            "operation": "compact",
+            "batch_id": None,
+            "touched_buckets": buckets,
+            "rows_written": sum(f.rows for f in new_files),
+        },
+        base=base,
+    )
 
 
 def _merge_prepared(

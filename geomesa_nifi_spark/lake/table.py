@@ -151,27 +151,60 @@ class LakeTable:
 
         Deleted keys persist as tombstone rows (``_deleted = true``) so that
         late-arriving older upserts cannot resurrect them; the public scan
-        filters tombstones out.  ``include_tombstones=True`` (used by MERGE)
-        exposes them with the ``_deleted`` column attached.
+        filters tombstones out.  ``include_tombstones=True`` (used by MERGE
+        and compaction) exposes them with the ``_deleted`` column attached.
+
+        If the selected buckets contain merge-on-read delta files, the scan
+        resolves last-writer-wins per key across base + deltas (map-side-
+        combining ``max_by`` on the table's (ts, tiebreak) order) before
+        returning — readers always see upsert semantics, whichever write
+        path produced the files.
         """
         snap = snapshot or self.snapshot(version)
-        schema = T.StructType.fromJson(json.loads(snap.schema_json))
-        read_schema = T.StructType(
-            list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType(), True)]
-        )
         files = snap.files
         if buckets is not None:
             wanted = set(buckets)
             files = [f for f in files if f.bucket in wanted]
+        df = self._read_files(snap, files)
+        if any(f.kind == "delta" for f in files):
+            df = self._resolve_lww(df)
+        if include_tombstones:
+            return df
+        return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+
+    def _read_files(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType(), True)]
+        )
         if not files:
             df = self.spark.createDataFrame([], read_schema)
         else:
             paths = [os.path.join(self.root, f.path) for f in files]
             df = self.spark.read.schema(read_schema).parquet(*paths)
-        df = df.withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        if include_tombstones:
-            return df
-        return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        return df.withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
+
+    def _resolve_lww(self, df: DataFrame) -> DataFrame:
+        """One row per key: greatest (ts, tiebreak) wins, tombstones kept."""
+        from geomesa_nifi_spark.operators.dedup import lww_dedup
+
+        ts = self.ts_col
+        if ts is None:
+            raise ValueError("merge-on-read resolution requires a ts_col")
+        order = [ts] + ([self.tiebreak_col] if self.tiebreak_col else [])
+        return lww_dedup(df, self.key_col, order, strategy="maxby")
+
+    def delta_stats(self, snapshot: Snapshot | None = None) -> dict[int, dict]:
+        """Per-bucket {files, delta_files, delta_rows} — compaction input."""
+        snap = snapshot or self.snapshot()
+        out: dict[int, dict] = {}
+        for f in snap.files:
+            b = out.setdefault(f.bucket, {"files": 0, "delta_files": 0, "delta_rows": 0})
+            b["files"] += 1
+            if f.kind == "delta":
+                b["delta_files"] += 1
+                b["delta_rows"] += f.rows
+        return out
 
     # -- writes --------------------------------------------------------------
 
@@ -180,6 +213,7 @@ class LakeTable:
         df: DataFrame,
         version_hint: int,
         max_records_per_file: int = 2_000_000,
+        kind: str = "base",
     ) -> list[DataFile]:
         """Write ``df`` (must carry ``_bucket``) as new immutable data files.
 
@@ -198,21 +232,33 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        return self._discover_files(subdir)
+        return self._discover_files(subdir, kind)
 
-    def _discover_files(self, subdir: str) -> list[DataFile]:
-        out: list[DataFile] = []
+    def _discover_files(self, subdir: str, kind: str = "base") -> list[DataFile]:
+        import concurrent.futures
+
+        found: list[tuple[str, int, str]] = []  # (rel_path, bucket, full)
         base = os.path.join(self.root, subdir)
         for dirpath, _dirnames, filenames in os.walk(base):
             for name in sorted(filenames):
                 if not name.endswith(".parquet"):
                     continue
                 rel_dir = os.path.relpath(dirpath, self.root)
-                bucket = _bucket_from_path(dirpath)
-                full = os.path.join(dirpath, name)
-                rows = pq.ParquetFile(full).metadata.num_rows if pq else -1
-                out.append(DataFile(path=os.path.join(rel_dir, name), bucket=bucket, rows=rows))
-        return out
+                found.append(
+                    (os.path.join(rel_dir, name), _bucket_from_path(dirpath), os.path.join(dirpath, name))
+                )
+
+        def rows_of(full: str) -> int:
+            return pq.ParquetFile(full).metadata.num_rows if pq else -1
+
+        # Footer reads are per-file metadata IO — parallelize so a commit of
+        # hundreds of bucket files doesn't serialize on the driver.
+        with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
+            rows = list(pool.map(rows_of, [f[2] for f in found]))
+        return [
+            DataFile(path=rel, bucket=bucket, rows=r, kind=kind)
+            for (rel, bucket, _full), r in zip(found, rows)
+        ]
 
     def commit_rewrite(
         self,

@@ -53,7 +53,7 @@ def run_file_replay(
     pipeline_id: str = "cdc",
     max_files_per_trigger: int = 1,
     extract: bool = True,
-    write_mode: str = "merge",
+    write_mode: str = "merge",  # merge (CoW) | mor | append
     compat_mode: CompatibilityMode = CompatibilityMode.UPDATE,
     dedup_strategy: str = "maxby",
     metrics_path: str | None = None,
@@ -100,7 +100,8 @@ def run_file_replay(
                 compat_mode=compat_mode,
                 dedup_strategy=dedup_strategy,
                 lineage=lineage,
-                collect_metrics=collect_metrics,
+                collect_metrics=collect_metrics and write_mode != "mor",
+                mode="mor" if write_mode == "mor" else "cow",
             )
         rows = sum(r["rows"] for r in offset_ranges) if offset_ranges else 0
         stats.batches += 1

@@ -1,0 +1,86 @@
+"""Changelog egress (table_changes) and fid hashing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.functions.hashing import with_fid
+from geomesa_nifi_spark.lake import LakeTable, merge_changes
+from geomesa_nifi_spark.streaming.changes import rewrite_commits, table_changes
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+CHANGE = T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())])
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(i))
+
+
+def ev(url, i, text, op="upsert"):
+    return Row(url=url, warc_ts=ts(i), offset=int(i), text=text, op=op)
+
+
+def test_table_changes_roundtrip(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key_col="url",
+                         ts_col="warc_ts", tiebreak_col="offset", num_buckets=4)
+    merge_changes(t, spark.createDataFrame([ev("a", 1, "a1"), ev("b", 2, "b1")], CHANGE),
+                  batch_id="1", mode="mor", auto_compact=False)
+    merge_changes(t, spark.createDataFrame([ev("a", 3, "a2"), ev("b", 4, None, op="delete")], CHANGE),
+                  batch_id="2", mode="mor", auto_compact=False)
+
+    all_changes = table_changes(t).orderBy("_commit_version", "offset").collect()
+    assert [(r.url, r._change_type, r._commit_version) for r in all_changes] == [
+        ("a", "insert_or_update", 1),
+        ("b", "insert_or_update", 1),
+        ("a", "insert_or_update", 2),
+        ("b", "delete", 2),
+    ]
+    assert {r._batch_id for r in all_changes} == {"1", "2"}
+
+    # incremental read: only the second commit
+    inc = table_changes(t, from_version=1).collect()
+    assert len(inc) == 2 and all(r._commit_version == 2 for r in inc)
+
+    # a downstream replay of the changelog reproduces the table state
+    replayed = (
+        spark.createDataFrame(all_changes)
+        .withColumn("op", F.when(F.col("_change_type") == "delete", "delete").otherwise("upsert"))
+        .drop("_change_type", "_commit_version", "_batch_id")
+    )
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA, key_col="url",
+                          ts_col="warc_ts", tiebreak_col="offset", num_buckets=4)
+    merge_changes(t2, replayed, batch_id="replay")
+    a = t.scan().orderBy("url")
+    b = t2.scan().orderBy("url")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rewrite_commits_surfaced(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key_col="url",
+                         ts_col="warc_ts", tiebreak_col="offset", num_buckets=4)
+    merge_changes(t, spark.createDataFrame([ev("a", 1, "a1")], CHANGE), batch_id="1", mode="cow")
+    recs = rewrite_commits(t)
+    assert len(recs) == 1 and recs[0]["operation"] == "merge"
+    assert table_changes(t).count() == 0  # CoW commits are not row-changelogs
+
+
+def test_fid_hash_deterministic_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b=None), Row(a="x", b=""), Row(a="x", b="y")]
+    )
+    out = with_fid(df).collect()
+    fids = [r["__fid"] for r in out]
+    assert len(set(fids)) == 3  # null vs "" vs value all distinct
+    again = [r["__fid"] for r in with_fid(df).collect()]
+    assert fids == again

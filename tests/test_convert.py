@@ -1,0 +1,152 @@
+"""Converter compiler + export sinks: the reference's example-csv shape,
+expression language, error routing, golden single-file exports."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_nifi_spark.functions.convert import (
+    ConverterError,
+    apply_converter,
+    compile_transform,
+    split_errors,
+)
+from geomesa_nifi_spark.operators.exports import export_dir, export_file, to_arrow
+
+# Same shape as the reference's example.csv fixture (FIXTURES.md F3):
+# ID,Name,Age,LastSeen,Friends,Skills,Lon,Lat,Vis
+CSV_TEXT = """\
+10001,Ada,20,2015-05-06,"Grace, Edsger",skill->9,-100.2365,23,user
+10002,Grace,25,2015-06-07,"Ada, Alan",skill->10,40.232,-53.2356,user
+10003,Alan,30,2015-10-23,"Kurt, John",skill->8,3,-62.23,user&admin
+"""
+
+EXAMPLE_CSV_CONFIG = {
+    # mirrors the reference's example-csv converter (application.conf):
+    # id = toString($fid), fields with casts and a date parse
+    "type": "delimited-text",
+    "id-field": "toString($1)",
+    "fields": [
+        {"name": "fid", "transform": "$1::int"},
+        {"name": "name", "transform": "$2::string"},
+        {"name": "age", "transform": "$3::int"},
+        {"name": "dtg", "transform": "date('yyyy-MM-dd', $4)"},
+        {"name": "lon", "transform": "$7::double"},
+        {"name": "lat", "transform": "$8::double"},
+        {"name": "vis", "transform": "$9"},
+    ],
+}
+
+
+@pytest.fixture
+def csv_path(tmp_path):
+    p = tmp_path / "example.csv"
+    p.write_text(CSV_TEXT)
+    return str(p)
+
+
+def test_example_csv_converter(spark, csv_path):
+    out = apply_converter(spark, EXAMPLE_CSV_CONFIG, path=csv_path)
+    rows = {r.fid: r for r in out.collect()}
+    assert set(rows) == {10001, 10002, 10003}
+    r = rows[10001]
+    assert r.name == "Ada" and r.age == 20
+    assert r.dtg.year == 2015 and r.dtg.month == 5 and r.dtg.day == 6
+    assert r.lon == -100.2365 and r.lat == 23.0
+    assert r.vis == "user"
+    assert r["__fid"] == "10001"  # id-field expression
+
+
+def test_transform_language(spark):
+    df = spark.createDataFrame([("7", "x")], ["a", "b"])
+    resolve = lambda ref: F.col(ref)  # noqa: E731
+    assert df.select(compile_transform("$a::int", resolve).alias("v")).first().v == 7
+    assert (
+        df.select(compile_transform("concat($a, '-', $b)", resolve).alias("v")).first().v
+        == "7-x"
+    )
+    assert (
+        df.select(compile_transform("try($b::int, 0)", resolve).alias("v")).first().v == 0
+    )
+    assert (
+        len(df.select(compile_transform("md5($a)", resolve).alias("v")).first().v) == 32
+    )
+    with pytest.raises(ConverterError):
+        compile_transform("nope($a)", resolve)
+    with pytest.raises(ConverterError):
+        compile_transform("$a::int extra", resolve)
+
+
+def test_attribute_injection(spark, csv_path):
+    cfg = {
+        "type": "delimited-text",
+        "fields": [
+            {"name": "fid", "transform": "$1::int"},
+            {"name": "source", "transform": "concat($input_name, '!')"},
+        ],
+    }
+    out = apply_converter(spark, cfg, path=csv_path, attributes={"input_name": "fileA"})
+    assert out.first().source == "fileA!"
+
+
+def test_error_routing(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("1,ok\nnot_an_int,bad\n2,ok2\n")
+    cfg = {
+        "type": "delimited-text",
+        "fields": [
+            {"name": "fid", "transform": "$1::int"},
+            {"name": "name", "transform": "$2"},
+        ],
+    }
+    out = apply_converter(spark, cfg, path=str(p))
+    good, bad = split_errors(out, required=["fid"])
+    assert good.count() == 2  # LogErrors semantics: keep going
+    assert bad.count() == 1  # failure routed, not raised
+
+
+def test_golden_csv_export(spark, csv_path, tmp_path):
+    out = apply_converter(spark, EXAMPLE_CSV_CONFIG, path=csv_path).drop("__fid")
+    dest = str(tmp_path / "out.csv")
+    export_file(out.select("fid", "name", "age", "vis"), "csv", dest, order_by=["fid"])
+    golden = (
+        "fid,name,age,vis\n"
+        "10001,Ada,20,user\n"
+        "10002,Grace,25,user\n"
+        "10003,Alan,30,user&admin\n"
+    )
+    assert open(dest).read() == golden  # byte-exact (≙ ConvertToGeoFileTest)
+
+
+def test_exports_roundtrip(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    for fmt in ["csv", "tsv", "json", "parquet"]:
+        d = str(tmp_path / fmt)
+        export_dir(df, fmt, d)
+        back = (
+            spark.read.option("header", True).option(
+                "sep", "\t" if fmt == "tsv" else ","
+            ).csv(d, inferSchema=True)
+            if fmt in ("csv", "tsv")
+            else (spark.read.json(d) if fmt == "json" else spark.read.parquet(d))
+        )
+        assert back.count() == 100
+    gz = str(tmp_path / "out.json.gz")
+    export_file(df, "json", gz, order_by=["id"], gzip_level=5)
+    import gzip
+
+    assert gzip.open(gz).read().startswith(b'{"id":0')
+
+
+def test_arrow_export_dictionary(spark):
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("cat")
+    )
+    import pyarrow as pa
+
+    t = to_arrow(df)
+    assert t.num_rows == 50
+    assert pa.types.is_dictionary(t.schema.field("cat").type)
