@@ -100,7 +100,7 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _replay(spark: SparkSession, sf_dir: str, batch_order) -> DataFrame:
+def _replay(spark: SparkSession, sf_dir: str, batch_order, mode: str = "cow") -> DataFrame:
     """Replay the events change stream through a real lake table (MERGE per
     batch, batches = event_id mod 4, applied in ``batch_order``) and return
     the final visible state.  Tombstones make the result identical for any
@@ -120,7 +120,7 @@ def _replay(spark: SparkSession, sf_dir: str, batch_order) -> DataFrame:
     )
     for b in batch_order:
         batch = ch.filter(F.pmod(F.col("src_offset"), F.lit(len(batch_order))) == b)
-        merge_changes(table, batch, batch_id=f"entry-{b}")
+        merge_changes(table, batch, batch_id=f"entry-{b}", mode=mode)
     final = table.scan()
     return final.select(
         "url",
@@ -137,6 +137,12 @@ def _merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _merge_replay_scrambled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, sf_dir, [2, 0, 3, 1])
+
+
+def _merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay through the merge-on-read path (delta commits + read-time
+    LWW resolution + auto-compaction) — final state must be identical."""
+    return _replay(spark, sf_dir, [1, 3, 0, 2], mode="mor")
 
 
 def _schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_state_salted": _lww_state("salted"),
         "cdc_merge_replay": _merge_replay,
         "cdc_merge_replay_scrambled": _merge_replay_scrambled,
+        "cdc_merge_replay_mor": _merge_replay_mor,
         "cdc_schema_evolution": _schema_evolution_replay,
         "cdc_ingest_counts": _ingest_counts,
         # conversion layer (SURVEY §2.2)
@@ -399,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_state_salted": _LWW_STATE_SQL,
         "cdc_merge_replay": _LWW_STATE_SQL,
         "cdc_merge_replay_scrambled": _LWW_STATE_SQL,
+        "cdc_merge_replay_mor": _LWW_STATE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,
         "convert_json_props": _CONVERT_JSON_SQL,

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geomesa_nifi_spark.lake import evolution
-from geomesa_nifi_spark.lake.ledger import Snapshot
+from geomesa_nifi_spark.lake.ledger import CommitConflict, Snapshot
 from geomesa_nifi_spark.lake.table import BUCKET_COL, DELETED_COL, LakeTable
 from geomesa_nifi_spark.operators.dedup import lww_dedup
 
@@ -168,22 +168,41 @@ def _merge_mor(
     touched = sorted({f.bucket for f in new_files})
     if not new_files:
         return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
-    snap = table.ledger.commit(
-        Snapshot(
-            version=base.version + 1,
-            schema_json=final_schema.json(),
-            files=base.files + new_files,
-            properties=dict(base.properties),
-            summary={
-                "operation": "merge_mor",
-                "batch_id": str(batch_id) if batch_id is not None else None,
-                "touched_buckets": touched,
-                "rows_written": sum(f.rows for f in new_files),
-                "lineage": lineage or {},
-            },
-            parent_version=base.version,
+
+    def _commit(base_snap):
+        return table.ledger.commit(
+            Snapshot(
+                version=base_snap.version + 1,
+                schema_json=final_schema.json(),
+                files=base_snap.files + new_files,
+                properties=dict(base_snap.properties),
+                summary={
+                    "operation": "merge_mor",
+                    "batch_id": str(batch_id) if batch_id is not None else None,
+                    "touched_buckets": touched,
+                    "rows_written": sum(f.rows for f in new_files),
+                    "lineage": lineage or {},
+                },
+                parent_version=base_snap.version,
+            )
         )
-    )
+
+    # Optimistic concurrency: delta files never conflict with a concurrent
+    # commit's files, so losing the version race only requires re-basing the
+    # ledger entry on the new snapshot — no data is rewritten (contrast CoW,
+    # where a conflicting rewrite of the same bucket must redo the merge).
+    snap = None
+    for _attempt in range(10):
+        try:
+            snap = _commit(base)
+            break
+        except CommitConflict:
+            base = table.snapshot()
+            if batch_id is not None and str(batch_id) in table.committed_batch_ids():
+                return MergeResult(snapshot=None, skipped=True,
+                                   metrics={"reason": "batch_committed"})
+    if snap is None:
+        raise CommitConflict("merge_mor: lost the commit race 10 times")
     metrics = {"delta_rows": sum(f.rows for f in new_files)}
     if auto_compact:
         threshold = int(snap.properties.get("mor.compact.deltas", "8"))
@@ -297,13 +316,33 @@ def _merge_prepared(
         **metrics,
         "lineage": lineage or {},
     }
-    snap = table.commit_rewrite(
-        touched_buckets=touched,
-        new_files=new_files,
-        summary=summary,
-        base=base,
-        schema_json=final_schema.json(),
-    )
+    def files_of(snapshot, buckets):
+        return sorted(f.path for f in snapshot.files if f.bucket in set(buckets))
+
+    snap = None
+    for _attempt in range(10):
+        try:
+            snap = table.commit_rewrite(
+                touched_buckets=touched,
+                new_files=new_files,
+                summary=summary,
+                base=base,
+                schema_json=final_schema.json(),
+            )
+            break
+        except CommitConflict:
+            newer = table.snapshot()
+            if batch_id is not None and str(batch_id) in table.committed_batch_ids():
+                return MergeResult(snapshot=None, skipped=True,
+                                   metrics={"reason": "batch_committed"})
+            if files_of(newer, touched) != files_of(base, touched):
+                # the concurrent commit rewrote one of OUR buckets: the join
+                # we executed is stale — the caller must redo the merge
+                raise
+            # disjoint buckets: rebase the commit, no data rewrite needed
+            base = newer
+    if snap is None:
+        raise CommitConflict("merge: lost the commit race 10 times")
     return MergeResult(snapshot=snap, metrics=metrics)
 
 

@@ -68,7 +68,10 @@ def run_file_replay(
     left off.  ``fail_after_batches`` injects a mid-stream crash for the
     resumability tests.
     """
-    schema = spark.read.parquet(source_dir).schema
+    # mergeSchema: replay directories may mix files written before and after
+    # an additive schema change (SURVEY §7 hard-part 3); older files are
+    # null-padded for the new columns and the table evolves via compat_mode.
+    schema = spark.read.option("mergeSchema", "true").parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1,0 +1,83 @@
+"""Optimistic-concurrency behavior: MoR commits rebase past concurrent
+commits; CoW commits rebase only when buckets are disjoint."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake import CommitConflict, LakeTable, merge_changes
+from geomesa_nifi_spark.lake.table import LakeTable as _LT
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+CHANGE = T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())])
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(i))
+
+
+def ev(url, i, text, op="upsert"):
+    return Row(url=url, warc_ts=ts(i), offset=int(i), text=text, op=op)
+
+
+def make(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+    )
+
+
+def _inject_commit_between(monkeypatch, table, spark, rows):
+    """Make another writer commit between our data write and ledger commit."""
+    other = LakeTable(spark, table.root)
+    orig = _LT.write_files
+    state = {"fired": False}
+
+    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base"):
+        files = orig(self, df, version_hint, max_records_per_file, kind)
+        if not state["fired"]:
+            state["fired"] = True
+            merge_changes(other, spark.createDataFrame(rows, CHANGE),
+                          batch_id="intruder", mode="mor", auto_compact=False)
+        return files
+
+    monkeypatch.setattr(_LT, "write_files", patched)
+
+
+def test_mor_commit_rebases_past_concurrent_writer(spark, tmp_path, monkeypatch):
+    t = make(spark, tmp_path)
+    _inject_commit_between(monkeypatch, t, spark, [ev("other", 99, "x")])
+    r = merge_changes(t, spark.createDataFrame([ev("mine", 1, "v")], CHANGE),
+                      batch_id="me", mode="mor", auto_compact=False)
+    assert not r.skipped
+    versions = [s.summary.get("batch_id") for s in t.history()]
+    assert "intruder" in versions and "me" in versions
+    st = {x.url for x in t.scan().collect()}
+    assert st == {"other", "mine"}  # both writers' rows landed
+
+
+def test_cow_conflict_same_bucket_raises(spark, tmp_path, monkeypatch):
+    t = make(spark, tmp_path)
+    merge_changes(t, spark.createDataFrame([ev("k", 1, "v1")], CHANGE), batch_id="seed")
+    # intruder updates the SAME key (same bucket) between write and commit
+    _inject_commit_between(monkeypatch, t, spark, [ev("k", 50, "intruder")])
+    with pytest.raises(CommitConflict):
+        merge_changes(t, spark.createDataFrame([ev("k", 10, "mine")], CHANGE),
+                      batch_id="me", mode="cow")
+    # retrying the failed merge against the new state succeeds and LWW holds
+    monkeypatch.undo()
+    merge_changes(t, spark.createDataFrame([ev("k", 10, "mine")], CHANGE),
+                  batch_id="me-retry", mode="cow")
+    final = {x.url: x.text for x in t.scan().collect()}
+    assert final == {"k": "intruder"}  # offset 50 beats 10

@@ -102,6 +102,60 @@ def test_restarted_checkpoint_skips_committed_batches(spark, tmp_path, replay_di
     assert t.scan().count() == n
 
 
+def test_mor_mode_stream(spark, tmp_path, replay_dir):
+    t = make_table(spark, tmp_path)
+    stats = run_file_replay(
+        spark, t, replay_dir, str(tmp_path / "ckpt"), pipeline_id="mor",
+        write_mode="mor", max_files_per_trigger=2,
+    )
+    assert stats.batches == 3
+    assert t.scan().count() == expected_final_count(spark, replay_dir)
+    ops = {s.summary["operation"] for s in t.history()}
+    assert "merge_mor" in ops
+
+
+def test_mid_stream_schema_evolution(spark, tmp_path):
+    """Additive schema change between replay runs: the resumed stream reads
+    the widened schema (mergeSchema), the table evolves, old rows null-pad."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "changes"
+    base = change_stream(spark, 200, n_keys=50, seed=31)
+    write_replay_files(base.drop("html"), str(d), n_files=2)
+    narrow = T.StructType([f for f in PAGES.fields if f.name not in ("html", "title")])
+    t = LakeTable.create(
+        spark, str(tmp_path / "pages"), narrow,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=8,
+    )
+    ck = str(tmp_path / "ckpt")
+    run_file_replay(spark, t, str(d), ck, pipeline_id="p", extract=False)
+    assert "title" not in t.schema().fieldNames()
+
+    # stream evolves: later files carry a new 'title' column
+    more = (
+        change_stream(spark, 200, n_keys=50, seed=32)
+        .drop("html")
+        .withColumn("offset", F.col("offset") + 200)
+        .withColumn("title", F.concat(F.lit("T-"), F.col("url")))
+    )
+    staged = tmp_path / "more"
+    more.coalesce(2).write.parquet(str(staged))
+    import shutil
+
+    parts = sorted(staged.glob("part-*.parquet"))
+    assert parts
+    for i, f in enumerate(parts):
+        shutil.move(str(f), str(d / f"late-{i:05d}.parquet"))
+
+    run_file_replay(spark, t, str(d), ck, pipeline_id="p", extract=False)
+    assert "title" in t.schema().fieldNames()
+    rows = t.scan().collect()
+    titled = [r for r in rows if r.title is not None]
+    untitled = [r for r in rows if r.title is None]
+    assert titled and untitled  # new rows have it, old survivors null-padded
+    assert all(r.title == f"T-{r.url}" for r in titled)
+
+
 def test_append_mode_stream(spark, tmp_path, replay_dir):
     t = make_table(spark, tmp_path)
     stats = run_file_replay(
