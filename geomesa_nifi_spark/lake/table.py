@@ -304,6 +304,23 @@ class LakeTable:
         )
         return self.ledger.commit(snap)
 
+    def expire_snapshots(self, keep_last: int = 20) -> list[int]:
+        """Drop ledger entries older than the newest ``keep_last`` versions.
+
+        Metadata hygiene for long replays (10^4+ commits): time travel
+        beyond the horizon is gone, exactly-once is preserved because the
+        horizon must exceed any possible batch re-delivery window (the
+        streaming checkpoint already bounds it to the last epoch).  Run
+        ``vacuum()`` afterwards to free unreferenced data files.
+        """
+        versions = self.ledger._versions()
+        drop = versions[:-keep_last] if keep_last > 0 else []
+        removed = []
+        for v in drop:
+            os.unlink(os.path.join(self.ledger.dir, f"v{v:012d}.json"))
+            removed.append(v)
+        return removed
+
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by any snapshot (failed commits)."""
         referenced = set()
