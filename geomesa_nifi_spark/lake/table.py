@@ -194,6 +194,29 @@ class LakeTable:
         order = [ts] + ([self.tiebreak_col] if self.tiebreak_col else [])
         return lww_dedup(df, self.key_col, order, strategy="maxby")
 
+    def lookup(self, keys: list, version: int | None = None) -> DataFrame:
+        """Point lookup: the ModifyWriter read path
+        (``FeatureWriters.scala:126-147``) as a pruned scan.
+
+        Buckets are computed driver-side from the literal keys, so only
+        those buckets' files are opened; the key equality predicate then
+        pushes into parquet where the sorted row groups prune further.
+        At any table size this touches O(len(keys)) files.
+        """
+        if not keys:
+            return self.scan(version=version).limit(0)
+        import pyspark.sql.functions as _F
+
+        lit_df = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField(self.key_col, T.StringType())])
+        )
+        buckets = sorted(
+            r[0]
+            for r in lit_df.select(self.bucket_expr().alias("b")).distinct().collect()
+        )
+        df = self.scan(version=version, buckets=buckets)
+        return df.filter(_F.col(self.key_col).isin(list(keys)))
+
     def delta_stats(self, snapshot: Snapshot | None = None) -> dict[int, dict]:
         """Per-bucket {files, delta_files, delta_rows} — compaction input."""
         snap = snapshot or self.snapshot()
@@ -227,7 +250,11 @@ class LakeTable:
         subdir = f"data/s{version_hint:010d}-{token}"
         out_dir = os.path.join(self.root, subdir)
         (
+            # sortWithinPartitions(key): parquet row-group min/max stats on
+            # the key become selective, so point lookups prune row groups
+            # inside a bucket, not just files across buckets
             df.repartition(F.col(BUCKET_COL))
+            .sortWithinPartitions(F.col(self.key_col))
             .write.option("maxRecordsPerFile", str(max_records_per_file))
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)

@@ -110,6 +110,27 @@ def test_commit_conflict_and_time_travel(spark, tmp_path):
     assert t.scan().count() == 10
 
 
+def test_point_lookup_prunes_buckets(spark, tmp_path):
+    root = str(tmp_path / "pages")
+    t = LakeTable.create(spark, root, PAGES, key_col="url", ts_col="warc_ts", num_buckets=8)
+    df = spark.createDataFrame([page(i) for i in range(200)], PAGES)
+    append_only(t, df, batch_id="b0")
+    some = [page(5).url, page(77).url, page(142).url]
+    got = t.lookup(some)
+    assert {r.url for r in got.collect()} == set(some)
+    # the physical scan opens only the keys' buckets' files
+    from geomesa_nifi_spark.plans.checks import assert_pushed_filters
+
+    assert_pushed_filters(got, "url")
+    read_buckets = {
+        part.split("=")[1].split("/")[0]
+        for f in got.inputFiles()
+        for part in f.split("/")
+        if part.startswith("_bucket=")
+    }
+    assert 0 < len(read_buckets) <= 3  # <= one bucket per key
+
+
 def test_vacuum_removes_orphans(spark, tmp_path):
     root = str(tmp_path / "pages")
     t = LakeTable.create(spark, root, PAGES, key_col="url", ts_col="warc_ts", num_buckets=4)
