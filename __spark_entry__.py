@@ -341,6 +341,30 @@ SELECT query_id, vec_id, sim, rank::int AS rank FROM ranked WHERE rank <= 5
 """
 
 
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.4
+    )
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(a.embedding[i.i]::double * b.embedding[i.i]::double) AS dot,
+         sqrt(sum(a.embedding[i.i]::double * a.embedding[i.i]::double)) AS na,
+         sqrt(sum(b.embedding[i.i]::double * b.embedding[i.i]::double)) AS nb
+  FROM e a, e b, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na * nb), 4) AS sim
+FROM dots WHERE round(dot / (na * nb), 4) >= 0.4
+"""
+
+
 def _ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_nifi_spark.operators.similarity import rhp_ann_topk
 
@@ -395,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _doc_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_rhp_topk": _ann_rhp,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
         "multimodal_features": _multimodal_features,
     }
 
@@ -418,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         # 0.1), so the output equals the exact pair set:
         "doc_minhash_lsh": _DOC_NGRAM_JACCARD_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
+        "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
         # no oracle (engine-internal hashing / LSH approximation / UDF stage):
         # doc_simhash, ann_rhp_topk, extract_pages_cdc, multimodal_features
     }

@@ -80,6 +80,49 @@ def rhp_signature(vec, planes: int, dim: int, seed: int = 13):
     return sig
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    bucketed: bool = False,
+    planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
+
+    ``bucketed=False``: exact pairwise — the verifier/baseline.
+    ``bucketed=True``: RHP-LSH candidates (same-bucket only) then exact
+    cosine — the linear-ish scale path, same candidate->verify shape as
+    MinHash dedup.  Note RHP bucketing at ``planes`` bits has recall < 1
+    for moderate thresholds; production runs multiple probe tables.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    if bucketed:
+        corpus = corpus.withColumn("bucket", rhp_signature(F.col("vec"), planes, dim))
+    a = corpus.select(*[F.col(c).alias(f"a_{c}") for c in corpus.columns])
+    b = corpus.select(*[F.col(c).alias(f"b_{c}") for c in corpus.columns])
+    cond = F.col("a_vec_id") < F.col("b_vec_id")
+    if bucketed:
+        cond = cond & (F.col("a_bucket") == F.col("b_bucket"))
+    j = a.join(b, cond)
+    sim = F.round(
+        _dot(F.col("a_vec"), F.col("b_vec")) / (_norm(F.col("a_vec")) * _norm(F.col("b_vec"))),
+        round_to,
+    )
+    return (
+        j.select(
+            F.col("a_vec_id").alias("vec_a"),
+            F.col("b_vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def rhp_ann_topk(
     emb: DataFrame,
     k: int = 5,

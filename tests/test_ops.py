@@ -93,6 +93,18 @@ def test_cosine_topk_and_rhp(spark):
         assert r.sim <= exact_best[r.query_id] + 1e-9
 
 
+def test_embedding_near_dups(spark):
+    from geomesa_nifi_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_near_dups(emb, threshold=0.4)
+    rows = exact.collect()
+    assert all(r.vec_a < r.vec_b and r.sim >= 0.4 for r in rows)
+    # bucketed candidates verify exactly: subset of the exact pair set
+    approx = {(r.vec_a, r.vec_b) for r in embedding_near_dups(emb, 0.4, bucketed=True).collect()}
+    assert approx <= {(r.vec_a, r.vec_b) for r in rows}
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 50)
     out = extract_media_features(media)
