@@ -253,10 +253,12 @@ def main() -> None:
     scaling = None
     if do_scaling:
         res = {}
-        t_ext_8 = best_of(2, "extract", 8)
+        # pipeline (the headline) gets best-of-2 at both levels; the
+        # secondary extract pair runs once to keep the suite under ~10 min
+        t_ext_8 = best_of(1, "extract", 8)
         queries["cdc_extract_local8"] = round(t_ext_8, 3)
-        for job, t_big4 in (("pipeline", t_pipe_8), ("extract", t_ext_8)):
-            t_small = best_of(2, job, 2)
+        for job, t_big4, reps in (("pipeline", t_pipe_8, 2), ("extract", t_ext_8, 1)):
+            t_small = best_of(reps, job, 2)
             queries[f"cdc_{job}_local2"] = round(t_small, 3)
             res[job] = {
                 "events_per_sec_small": round(n_pipe / t_small, 1),
