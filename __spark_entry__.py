@@ -184,6 +184,31 @@ FROM lww WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _events_windowed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window change counts (streaming-identical
+    expressions run in batch; the watermarked stream variant is exercised
+    in tests/test_windowed.py)."""
+    from geomesa_nifi_spark.streaming.windowed import domain_activity
+
+    ch = _changes(spark, sf_dir)
+    out = domain_activity(ch, window="6 hours", ts_col="warc_ts")
+    return out.select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        "domain",
+        "op",
+        "n_events",
+    )
+
+
+_WINDOWED_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE})
+SELECT epoch_us(time_bucket(INTERVAL '6 hours', warc_ts)) AS win_start_us,
+       regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+       op, count(*) AS n_events
+FROM ch GROUP BY 1, 2, 3
+"""
+
+
 def _ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-op accounting (≙ geomesa.ingest.successes/failures attributes)."""
     return (
@@ -408,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay_mor": _merge_replay_mor,
         "cdc_schema_evolution": _schema_evolution_replay,
         "cdc_ingest_counts": _ingest_counts,
+        "events_windowed_activity": _events_windowed_activity,
         # conversion layer (SURVEY §2.2)
         "convert_json_props": _convert_json_props,
         "extract_pages_cdc": _extract_pages_cdc,
@@ -434,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_replay_mor": _LWW_STATE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,
+        "events_windowed_activity": _WINDOWED_SQL,
         "convert_json_props": _CONVERT_JSON_SQL,
         "doc_text_stats": _DOC_TEXT_STATS_SQL,
         "doc_exact_dups": _DOC_EXACT_DUPS_SQL,
