@@ -325,12 +325,31 @@ FROM pairs WHERE round(inter::double / (na + nb - inter), 4) >= 0.4
 """
 
 
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_nifi_spark.operators.curation import curate
+
+    return curate(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        min_quality=0.5, lang="en", jaccard_threshold=0.4,
+    )
+
+
 def _doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_nifi_spark.operators.docdedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.4, k=32, bands=16, n=2
     )
+
+
+_CORPUS_CURATION_SQL = f"""
+WITH stats AS ({_DOC_TEXT_STATS_SQL}),
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM ({_DOC_NGRAM_JACCARD_SQL}))
+SELECT s.doc_id, s.n_tokens, s.lang_pred, s.quality
+FROM stats s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+  AND s.quality >= 0.5 AND s.lang_pred = 'en'
+"""
 
 
 def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_minhash_lsh": _doc_minhash_lsh,
         "doc_simhash": _doc_simhash,
+        "corpus_curation": _corpus_curation,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_rhp_topk": _ann_rhp,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
@@ -469,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         # parameters give recall 1.0 on this corpus (checked at sf0.001/0.01/
         # 0.1), so the output equals the exact pair set:
         "doc_minhash_lsh": _DOC_NGRAM_JACCARD_SQL,
+        "corpus_curation": _CORPUS_CURATION_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
         # no oracle (engine-internal hashing / LSH approximation / UDF stage):

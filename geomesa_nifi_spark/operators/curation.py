@@ -1,0 +1,41 @@
+"""Corpus curation: the composed training-data endpoint.
+
+Chains the pipeline a pretraining-data curator actually runs over a crawled
+corpus: text statistics (tokens, language, quality) -> near-duplicate
+removal (keep the smallest doc_id of each similar pair) -> quality/language
+gates.  Every stage is a JVM-expression operator from this package, so the
+whole flow stays in one Catalyst plan: stats compute in the scan projection,
+the dedup anti-join broadcasts the (small) loser set, and the filters push
+down as far as the stats allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_nifi_spark.operators.docdedup import ngram_jaccard_pairs
+from geomesa_nifi_spark.operators.textops import text_stats
+
+
+def near_dup_losers(df: DataFrame, threshold: float = 0.4, n: int = 2) -> DataFrame:
+    """One row per document eliminated by near-dup pairing (the larger id
+    of each pair loses — deterministic, keeps the earliest-crawled)."""
+    pairs = ngram_jaccard_pairs(df, threshold=threshold, n=n)
+    return pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+
+
+def curate(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    jaccard_threshold: float = 0.4,
+) -> DataFrame:
+    """Documents that survive dedup + quality + language gates."""
+    stats = text_stats(df)
+    losers = near_dup_losers(df, threshold=jaccard_threshold)
+    kept = stats.join(F.broadcast(losers), "doc_id", "left_anti")
+    kept = kept.filter(F.col("quality") >= min_quality)
+    if lang is not None:
+        kept = kept.filter(F.col("lang_pred") == lang)
+    return kept.select("doc_id", "n_tokens", "lang_pred", "quality")

@@ -117,3 +117,16 @@ def test_multimodal_plumbing(spark):
     # determinism across runs
     again = {r.media_id: r.features for r in extract_media_features(media).collect()}
     assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_corpus_curation(spark):
+    from geomesa_nifi_spark.operators.curation import curate, near_dup_losers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    losers = {r.doc_id for r in near_dup_losers(docs).collect()}
+    out = curate(docs, min_quality=0.3, lang=None)
+    rows = out.collect()
+    assert rows
+    kept = {r.doc_id for r in rows}
+    assert kept.isdisjoint(losers)  # no near-dup loser survives
+    assert all(r.quality >= 0.3 for r in rows)
