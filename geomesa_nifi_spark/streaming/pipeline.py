@@ -29,6 +29,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from geomesa_nifi_spark.functions.extract import extract_pages
 from geomesa_nifi_spark.lake.evolution import CompatibilityMode
@@ -59,6 +60,8 @@ def run_file_replay(
     metrics_path: str | None = None,
     collect_metrics: bool = True,
     fail_after_batches: int | None = None,
+    quarantine_dir: str | None = None,
+    required_cols: tuple[str, ...] = ("url", "warc_ts"),
 ) -> ReplayStats:
     """Replay parquet change files through the CDC pipeline until drained.
 
@@ -93,6 +96,22 @@ def run_file_replay(
         prepared = extract_pages(batch) if extract else batch
         prepared = prepared.drop("partition") if "partition" in prepared.columns else prepared
         lineage = {"offset_ranges": offset_ranges, "epoch_id": epoch_id}
+        if quarantine_dir is not None:
+            # failure routing (≙ the failure relationship + per-file failure
+            # counts, DataStoreIngestProcessor.scala:100-115): rows missing a
+            # required field go to the dead-letter table, the rest proceed
+            from geomesa_nifi_spark.functions.convert import split_errors
+
+            good, bad = split_errors(prepared, list(required_cols))
+            n_bad = bad.count()
+            if n_bad:
+                (
+                    bad.withColumn("_quarantine_batch", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(quarantine_dir)
+                )
+            lineage["quarantined"] = n_bad
+            prepared = good
         if write_mode == "append":
             result: MergeResult = append_only(table, prepared, batch_id=batch_id, lineage=lineage)
         else:

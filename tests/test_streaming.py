@@ -156,6 +156,40 @@ def test_mid_stream_schema_evolution(spark, tmp_path):
     assert all(r.title == f"T-{r.url}" for r in titled)
 
 
+def test_quarantine_routing(spark, tmp_path):
+    """Rows missing required fields land in the dead-letter table; the rest
+    merge normally and lineage records the quarantined count."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "changes"
+    events = change_stream(spark, 200, n_keys=40, seed=13, payload="text")
+    # corrupt a deterministic slice: null out url on every 10th event
+    corrupted = events.withColumn(
+        "url", F.when(F.pmod(F.col("offset"), F.lit(10)) == 0, None).otherwise(F.col("url"))
+    )
+    write_replay_files(corrupted.drop("html"), str(d), n_files=2)
+
+    t = make_table(spark, tmp_path)
+    q = str(tmp_path / "deadletter")
+    stats = run_file_replay(
+        spark, t, str(d), str(tmp_path / "ckpt"), pipeline_id="q",
+        extract=False, quarantine_dir=q,
+    )
+    bad = spark.read.parquet(q)
+    assert bad.count() == 20
+    assert bad.filter(F.col("url").isNotNull()).count() == 0
+    assert "_quarantine_batch" in bad.columns
+    # table state contains no null-url rows and matches the clean-row oracle
+    assert t.scan().filter(F.col("url").isNull()).count() == 0
+    clean = spark.read.parquet(str(d)).filter(F.col("url").isNotNull())
+    expected = (
+        lww_dedup(clean, "url", ["warc_ts", "offset"], strategy="window")
+        .filter(F.col("op") != "delete")
+        .count()
+    )
+    assert t.scan().count() == expected
+
+
 def test_append_mode_stream(spark, tmp_path, replay_dir):
     t = make_table(spark, tmp_path)
     stats = run_file_replay(
