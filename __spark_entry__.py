@@ -48,7 +48,20 @@ FROM lww WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _normalize_session(spark: SparkSession) -> SparkSession:
+    """Make timestamp semantics independent of the caller's session config.
+
+    The driver runs these queries in a *default* Spark 4 session, where
+    parquet ``timestamp[us]`` infers as TIMESTAMP_NTZ and the session time
+    zone is whatever the host has.  Pinning UTC makes the NTZ->LTZ cast at
+    the derivation boundary a bit-identical reinterpretation, so
+    ``unix_micros`` equals DuckDB's ``epoch_us`` regardless of session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _normalize_session(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -56,7 +69,11 @@ def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.select(
         F.concat(F.lit("https://u.example.org/"), F.col("user_id").cast("string")).alias("url"),
-        F.col("ts").alias("warc_ts"),
+        # cast at the derivation boundary: under a default session the parquet
+        # ts arrives as TIMESTAMP_NTZ; with UTC session TZ this cast keeps the
+        # stored micros, so every downstream unix_micros/window/merge sees one
+        # timestamp type whatever session the driver built.
+        F.col("ts").cast("timestamp").alias("warc_ts"),
         F.col("event_id").alias("src_offset"),
         F.col("event_type"),
         F.round(F.col("value"), 4).alias("value"),

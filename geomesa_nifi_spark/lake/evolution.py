@@ -116,8 +116,27 @@ def reconcile(
     )
 
 
+# Pairs the lake silently coerces at write time instead of rejecting: a
+# parquet timestamp read under a default Spark 4 session arrives as
+# TIMESTAMP_NTZ while the table declares TIMESTAMP (or vice versa) — the
+# stored micros are identical, only the session-TZ annotation differs, so the
+# write path casts to the table's type rather than failing the batch.
+_COERCIBLE: set[frozenset[str]] = {frozenset({"timestamp", "timestamp_ntz"})}
+
+
 def _same_type(a: T.DataType, b: T.DataType) -> bool:
-    return a.simpleString() == b.simpleString()
+    sa, sb = a.simpleString(), b.simpleString()
+    return sa == sb or frozenset((sa, sb)) in _COERCIBLE
+
+
+def merge_schemas(base: T.StructType, other: T.StructType) -> T.StructType:
+    """Union-by-name of two reconciled schemas (base's types win for shared
+    columns).  Used to re-derive the committed schema after losing a commit
+    race to a concurrent schema-evolving writer — rebasing with the stale
+    pre-conflict schema would silently revert the winner's added columns."""
+    base_names = {f.name for f in base.fields}
+    extra = [_nullable_field(f) for f in other.fields if f.name not in base_names]
+    return T.StructType([_nullable_field(f) for f in base.fields] + extra)
 
 
 def _nullable_field(f: T.StructField) -> T.StructField:

@@ -110,6 +110,14 @@ class Ledger:
     def __init__(self, table_root: str):
         self.table_root = table_root
         self.dir = os.path.join(table_root, LEDGER_DIR)
+        # Snapshot files are immutable once committed, so they are memoized by
+        # version; the batch-id set is maintained incrementally (only versions
+        # newer than the last scan are opened).  Without this, a 10^4-commit
+        # replay re-parses every snapshot JSON on every merge — O(commits^2)
+        # driver-side metadata IO that dominates small-batch latency.
+        self._snap_cache: dict[int, Snapshot] = {}
+        self._batch_ids: set[str] = set()
+        self._batch_ids_seen_version: int = -1
 
     # -- reads -----------------------------------------------------------
 
@@ -137,20 +145,31 @@ class Ledger:
             version = self.current_version()
             if version is None:
                 raise FileNotFoundError(f"no snapshots in {self.dir}")
-        path = os.path.join(self.dir, SNAPSHOT_FMT.format(version))
-        with open(path) as fh:
-            return Snapshot.from_json(json.load(fh))
+        snap = self._snap_cache.get(version)
+        if snap is None:
+            path = os.path.join(self.dir, SNAPSHOT_FMT.format(version))
+            with open(path) as fh:
+                snap = Snapshot.from_json(json.load(fh))
+            self._snap_cache[version] = snap
+        return snap
 
     def snapshots(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self._versions()]
 
     def committed_batch_ids(self) -> set[str]:
-        ids: set[str] = set()
-        for snap in self.snapshots():
-            bid = snap.summary.get("batch_id")
-            if bid is not None:
-                ids.add(str(bid))
-        return ids
+        """Batch ids of every committed snapshot (exactly-once gate).
+
+        Incremental: only snapshots newer than the last call are opened, so a
+        long replay pays O(new commits) per merge, not O(all commits).  Ids
+        are retained even after ``expire_snapshots`` drops old ledger entries
+        in-process — replaying an expired batch is still detected."""
+        for v in self._versions():
+            if v > self._batch_ids_seen_version:
+                bid = self.snapshot(v).summary.get("batch_id")
+                if bid is not None:
+                    self._batch_ids.add(str(bid))
+                self._batch_ids_seen_version = v
+        return self._batch_ids
 
     # -- writes ----------------------------------------------------------
 
@@ -179,4 +198,5 @@ class Ledger:
             ) from exc
         finally:
             os.unlink(tmp)
+        self._snap_cache[snapshot.version] = snapshot
         return snapshot

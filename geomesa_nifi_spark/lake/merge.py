@@ -37,6 +37,7 @@ key — orders of magnitude smaller than the target.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation
@@ -108,6 +109,13 @@ def merge_changes(
     final_cols = [f.name for f in final_schema.fields]
     if rec.dropped:
         source = source.drop(*rec.dropped)
+    # Coerce source columns to the table's declared types up front (covers
+    # the ntz<->ltz pairs reconcile allows) so LWW struct comparisons and the
+    # full-outer join see one type on both sides.
+    src_types = {f.name: f.dataType for f in source.schema.fields}
+    for f in final_schema.fields:
+        if f.name in src_types and src_types[f.name] != f.dataType:
+            source = source.withColumn(f.name, F.col(f.name).cast(f.dataType))
 
     if ts_col is None or ts_col not in source.columns:
         raise ValueError(f"merge requires LWW ts column '{ts_col}' in the source")
@@ -170,10 +178,16 @@ def _merge_mor(
         return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
 
     def _commit(base_snap):
+        # Merge against the *current* base schema, not the pre-conflict one:
+        # if we lost a race to a schema-evolving commit, republishing the
+        # stale schema would silently drop the winner's added columns.
+        committed = evolution.merge_schemas(
+            T.StructType.fromJson(json.loads(base_snap.schema_json)), final_schema
+        )
         return table.ledger.commit(
             Snapshot(
                 version=base_snap.version + 1,
-                schema_json=final_schema.json(),
+                schema_json=committed.json(),
                 files=base_snap.files + new_files,
                 properties=dict(base_snap.properties),
                 summary={
@@ -327,7 +341,11 @@ def _merge_prepared(
                 new_files=new_files,
                 summary=summary,
                 base=base,
-                schema_json=final_schema.json(),
+                # merge with the base schema at commit time so a rebase after
+                # losing to a schema-evolving commit keeps the winner's columns
+                schema_json=evolution.merge_schemas(
+                    T.StructType.fromJson(json.loads(base.schema_json)), final_schema
+                ).json(),
             )
             break
         except CommitConflict:
@@ -365,7 +383,7 @@ def append_only(
     cols = [f.name for f in table.schema().fields]
     out = source.select(
         *[
-            (F.col(c) if c in source.columns else F.lit(None).cast(f.dataType)).alias(c)
+            (F.col(c).cast(f.dataType) if c in source.columns else F.lit(None).cast(f.dataType)).alias(c)
             for c, f in zip(cols, table.schema().fields)
         ]
     ).withColumn(BUCKET_COL, table.bucket_expr())

@@ -49,6 +49,18 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.ledger = Ledger(root)
+        # key_col/ts_col/tiebreak_col/num_buckets are fixed at CREATE and
+        # copied forward verbatim by every commit; cache them so property
+        # accessors don't re-list and re-open the current snapshot per access.
+        self._structural: dict[str, str] | None = None
+
+    def _struct_prop(self, name: str) -> str | None:
+        if self._structural is None:
+            p = self.snapshot().properties
+            self._structural = {
+                k: p.get(k, "") for k in ("key_col", "ts_col", "tiebreak_col", "num_buckets")
+            }
+        return self._structural.get(name) or None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -107,19 +119,19 @@ class LakeTable:
 
     @property
     def key_col(self) -> str:
-        return self.snapshot().properties["key_col"]
+        return self._struct_prop("key_col")  # type: ignore[return-value]
 
     @property
     def ts_col(self) -> str | None:
-        return self.snapshot().properties.get("ts_col") or None
+        return self._struct_prop("ts_col")
 
     @property
     def tiebreak_col(self) -> str | None:
-        return self.snapshot().properties.get("tiebreak_col") or None
+        return self._struct_prop("tiebreak_col")
 
     @property
     def num_buckets(self) -> int:
-        return int(self.snapshot().properties["num_buckets"])
+        return int(self._struct_prop("num_buckets"))  # type: ignore[arg-type]
 
     def history(self) -> list[Snapshot]:
         return self.ledger.snapshots()

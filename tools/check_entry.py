@@ -20,7 +20,7 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-from geomesa_nifi_spark.session import get_spark  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -44,7 +44,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check-entry")
+    # DEFAULT-config session, deliberately NOT get_spark(): the driver's gate
+    # runs entry queries in a vanilla Spark 4 session (TIMESTAMP_NTZ parquet
+    # inference on, host time zone) — regression-guard that every query is
+    # robust to it.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.appName("check-entry")
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
