@@ -375,6 +375,51 @@ def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-blocked SimHash near-dup pairs (equi-join candidates, recall 1.0
+    by pigeonhole, verified with true Hamming distance)."""
+    from geomesa_nifi_spark.operators.docdedup import simhash_near_pairs
+
+    out = simhash_near_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=4)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# The md5-based hash family makes the whole SimHash pipeline reproducible in
+# DuckDB: token hash = first 12 hex chars of md5(token || seed) as a 48-bit
+# int, per-bit ±1 votes, bit set iff votes > 0.
+_SIMHASH_SIG_CTE = r"""
+tok AS (
+  SELECT doc_id,
+         [x FOR x IN regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS toks
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         [list_sum([(strpos('0123456789abcdef', substr(md5(t || '7'), i+1, 1)) - 1)::bigint
+                    << (4*(11-i)) FOR i IN range(0,12)]) FOR t IN toks] AS hs
+  FROM tok WHERE len(toks) > 0
+),
+sigs AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                                       FOR h IN hs]) > 0
+                        THEN 1::bigint << b ELSE 0 END
+                   FOR b IN range(0,48)])::bigint AS simhash
+  FROM hashed
+)
+"""
+
+_SIMHASH_SQL = f"WITH {_SIMHASH_SIG_CTE} SELECT doc_id, simhash FROM sigs"
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_SIG_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::int AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_nifi_spark.operators.similarity import cosine_topk
 
@@ -443,9 +488,47 @@ def _extract_pages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction (mapInPandas plumbing).
+
+    The raw ``features`` array is projected to a comma-joined list of the
+    exact uint16 lattice values it was derived from (features = raw/65536 is
+    exact in float32), so the gate's value hash is well-defined AND DuckDB
+    can recompute it from sha256 hex — a full oracle, not rows-only."""
     from geomesa_nifi_spark.functions.multimodal import extract_media_features, synthetic_media
 
-    return extract_media_features(synthetic_media(spark, 200))
+    feats = extract_media_features(synthetic_media(spark, 200))
+    sig = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("features"),
+            lambda x: F.round(x.cast("double") * 65536).cast("int").cast("string"),
+        ),
+    )
+    return feats.select("media_id", "kind", "n_bytes", "content_sha", sig.alias("features_sig"))
+
+
+# DuckDB regenerates the synthetic media table (range + md5 payload), hashes
+# it with sha256, and decodes the same little-endian uint16 lattice the fake
+# feature extractor derives from the digest bytes.
+_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT range::bigint AS media_id,
+         (['image','audio','video'])[(range % 3)::int + 1] AS kind,
+         'MEDIA:' || range::varchar || ':' || md5(range::varchar) AS payload
+  FROM range(200)
+), h AS (
+  SELECT media_id, kind, length(payload)::int AS n_bytes, sha256(payload) AS content_sha
+  FROM m
+)
+SELECT media_id, kind, n_bytes, content_sha,
+  array_to_string([
+    ((strpos('0123456789abcdef', substr(content_sha, 4*i+1, 1))-1)*16
+     + (strpos('0123456789abcdef', substr(content_sha, 4*i+2, 1))-1))
+    + 256*((strpos('0123456789abcdef', substr(content_sha, 4*i+3, 1))-1)*16
+     + (strpos('0123456789abcdef', substr(content_sha, 4*i+4, 1))-1))
+    FOR i IN range(0, 16)], ',') AS features_sig
+FROM h
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -479,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_minhash_lsh": _doc_minhash_lsh,
         "doc_simhash": _doc_simhash,
+        "doc_simhash_pairs": _doc_simhash_pairs,
         "corpus_curation": _corpus_curation,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_rhp_topk": _ann_rhp,
@@ -506,9 +590,12 @@ def oracle_sql() -> dict[str, str]:
         # parameters give recall 1.0 on this corpus (checked at sf0.001/0.01/
         # 0.1), so the output equals the exact pair set:
         "doc_minhash_lsh": _DOC_NGRAM_JACCARD_SQL,
+        "doc_simhash": _SIMHASH_SQL,
+        "doc_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "corpus_curation": _CORPUS_CURATION_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         # no oracle (engine-internal hashing / LSH approximation / UDF stage):
-        # doc_simhash, ann_rhp_topk, extract_pages_cdc, multimodal_features
+        # doc_simhash, ann_rhp_topk, extract_pages_cdc
     }

@@ -90,13 +90,22 @@ def extract_media_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic opaque-binary media table for tests (JVM-side)."""
+    """Deterministic opaque-binary media table for tests (JVM-side).
+
+    Payload and kind derive from md5/modulo (not xxhash64) so an external
+    SQL oracle can regenerate the identical table: DuckDB has md5+sha256 but
+    no xxhash64."""
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(seed)), 3) + 1).cast("int"),
+        (F.pmod(F.col("id"), 3) + 1).cast("int"),
     )
     payload = F.encode(
-        F.concat(F.lit("MEDIA:"), F.col("id"), F.lit(":"), F.xxhash64("id", F.lit(seed + 1))),
+        F.concat(
+            F.lit("MEDIA:"),
+            F.col("id").cast("string"),
+            F.lit(":"),
+            F.md5(F.col("id").cast("string")),
+        ),
         "UTF-8",
     )
     return spark.range(n).select(

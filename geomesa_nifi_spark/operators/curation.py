@@ -14,14 +14,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from geomesa_nifi_spark.operators.docdedup import ngram_jaccard_pairs
+from geomesa_nifi_spark.operators.docdedup import minhash_lsh_pairs, ngram_jaccard_pairs
 from geomesa_nifi_spark.operators.textops import text_stats
 
 
-def near_dup_losers(df: DataFrame, threshold: float = 0.4, n: int = 2) -> DataFrame:
+def near_dup_losers(
+    df: DataFrame, threshold: float = 0.4, n: int = 2, dedup: str = "minhash"
+) -> DataFrame:
     """One row per document eliminated by near-dup pairing (the larger id
-    of each pair loses — deterministic, keeps the earliest-crawled)."""
-    pairs = ngram_jaccard_pairs(df, threshold=threshold, n=n)
+    of each pair loses — deterministic, keeps the earliest-crawled).
+
+    ``dedup="minhash"`` (default) generates candidates with banded
+    MinHash-LSH and verifies them with exact Jaccard — candidate generation
+    is an equi-join, linear-ish in the corpus, the only shape that survives
+    web scale.  ``dedup="exact"`` runs the full inverted-index pair join:
+    exact by construction but quadratic on common shingles — the
+    small-corpus verifier, not the default."""
+    if dedup == "minhash":
+        pairs = minhash_lsh_pairs(df, threshold=threshold, n=n)
+    elif dedup == "exact":
+        pairs = ngram_jaccard_pairs(df, threshold=threshold, n=n)
+    else:
+        raise ValueError(f"dedup must be 'minhash' or 'exact', got {dedup!r}")
     return pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
 
@@ -30,10 +44,11 @@ def curate(
     min_quality: float = 0.5,
     lang: str | None = "en",
     jaccard_threshold: float = 0.4,
+    dedup: str = "minhash",
 ) -> DataFrame:
     """Documents that survive dedup + quality + language gates."""
     stats = text_stats(df)
-    losers = near_dup_losers(df, threshold=jaccard_threshold)
+    losers = near_dup_losers(df, threshold=jaccard_threshold, dedup=dedup)
     kept = stats.join(F.broadcast(losers), "doc_id", "left_anti")
     kept = kept.filter(F.col("quality") >= min_quality)
     if lang is not None:

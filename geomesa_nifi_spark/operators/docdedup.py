@@ -178,16 +178,39 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 48  # < 63 keeps the recomposed signature in a positive long
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    hash_family: str = "md5",
+) -> DataFrame:
     """SimHash over tokens: per bit, sum of ±1 votes from each token's hash;
     bit set iff the vote is positive.  Pure aggregate — no explode needed:
-    votes are computed per-document over the token array."""
+    votes are computed per-document over the token array.
+
+    ``hash_family="md5"`` (default) derives the 48-bit token hash from the
+    first 12 hex chars of md5(token || seed) — byte-identical reproducible in
+    any engine with md5 (the DuckDB oracle recomputes it).  ``"xxhash64"`` is
+    the cheaper JVM-only family for production throughput."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") > 0)
 
-    def _hashes():
-        return F.transform(F.col("toks"), lambda t: F.xxhash64(t, F.lit(seed)))
+    if hash_family == "md5":
+        def _hash(t):
+            return F.conv(
+                F.substring(F.md5(F.concat(t, F.lit(str(seed)))), 1, 12), 16, 10
+            ).cast("long")
+    elif hash_family == "xxhash64":
+        def _hash(t):
+            return F.xxhash64(t, F.lit(seed))
+    else:
+        raise ValueError(f"hash_family must be 'md5' or 'xxhash64', got {hash_family!r}")
+
+    # hash each token ONCE, then run the 48 bit-vote aggregates over the
+    # precomputed array (48 passes over longs, not 48 md5 evaluations/token)
+    hashed = toks.withColumn("hs", F.transform(F.col("toks"), _hash))
 
     def _vote(b: int):
         # closure factory: a default-arg lambda would change the UDF arity
@@ -196,26 +219,54 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed:
         ).otherwise(-1)
 
     bit_votes = [
-        F.aggregate(_hashes(), F.lit(0), _vote(b)) for b in range(SIMHASH_BITS)
+        F.aggregate(F.col("hs"), F.lit(0), _vote(b)) for b in range(SIMHASH_BITS)
     ]
     sig = None
     for b, vote in enumerate(bit_votes):
         bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig + term
-    return toks.select("doc_id", sig.alias("simhash"))
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, band-blocked.
+
+    Pigeonhole blocking: the 48 signature bits are split into
+    ``max_hamming + 1`` chunks — any pair within ``max_hamming`` differing
+    bits must agree exactly on at least one chunk, so candidates come from an
+    **equi-join** on (chunk index, chunk value) with guaranteed recall 1.0,
+    then get verified with the true bit_count(xor).  Replaces the all-pairs
+    cartesian join: at web scale candidate volume is driven by bucket
+    collisions, not N^2."""
     sigs = simhash(df, **kw)
-    a, b = sigs.alias("a"), sigs.alias("b")
+    if max_hamming >= SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    # floor width so every chunk holds >= 1 real signature bit: a zero-width
+    # tail chunk would match ALL pairs and silently degrade to the cartesian
+    width = max(1, SIMHASH_BITS // (max_hamming + 1))
+    n_chunks = (SIMHASH_BITS + width - 1) // width  # >= max_hamming + 1
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1))
+            for c in range(n_chunks)
+        ]
+    )
+    index = sigs.select("doc_id", "simhash", F.posexplode(chunks).alias("chunk", "cval"))
+    a, b = index.alias("a"), index.alias("b")
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             dist.alias("hamming"),
         )
+        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

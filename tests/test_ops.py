@@ -51,15 +51,43 @@ def test_ngram_jaccard_and_minhash_agree(spark):
 
 
 def test_simhash_properties(spark):
+    from geomesa_nifi_spark.plans.checks import assert_not_in_plan
+
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     near = base.replace("kappa", "lambda")
     far = "one two three four five six seven eight nine ten " * 4
     df = docs_df(spark, [base, near, far])
     sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
     assert all(s >= 0 for s in sigs.values())  # fits in positive long
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(df, max_hamming=12).collect()}
+    near_df = simhash_near_pairs(df, max_hamming=12)
+    # candidates come from the chunk equi-join, never an all-pairs join
+    assert_not_in_plan(near_df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in near_df.collect()}
     assert (0, 1) in pairs  # near-dup within hamming budget
     assert (0, 2) not in pairs and (1, 2) not in pairs
+    # both hash families keep the near/far separation; xxhash64 is the
+    # JVM-only fast path, md5 the oracle-reproducible default
+    xx = {(r.doc_a, r.doc_b) for r in
+          simhash_near_pairs(df, max_hamming=12, hash_family="xxhash64").collect()}
+    assert (0, 1) in xx and (0, 2) not in xx
+
+
+def test_simhash_band_blocking_recall(spark):
+    """Pigeonhole guarantee: band-blocked pairs == brute-force pairs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = simhash(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                dist.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    blocked = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert blocked == brute
 
 
 def test_text_stats_shape(spark):
@@ -95,14 +123,18 @@ def test_cosine_topk_and_rhp(spark):
 
 def test_embedding_near_dups(spark):
     from geomesa_nifi_spark.operators.similarity import embedding_near_dups
+    from geomesa_nifi_spark.plans.checks import assert_not_in_plan
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    exact = embedding_near_dups(emb, threshold=0.4)
+    exact = embedding_near_dups(emb, threshold=0.4, bucketed=False)
     rows = exact.collect()
     assert all(r.vec_a < r.vec_b and r.sim >= 0.4 for r in rows)
-    # bucketed candidates verify exactly: subset of the exact pair set
-    approx = {(r.vec_a, r.vec_b) for r in embedding_near_dups(emb, 0.4, bucketed=True).collect()}
-    assert approx <= {(r.vec_a, r.vec_b) for r in rows}
+    # the default (bucketed multi-table LSH) must find the exact pair set on
+    # this corpus AND never plan a cartesian/nested-loop join
+    lsh = embedding_near_dups(emb, threshold=0.4)
+    assert_not_in_plan(lsh, "CartesianProduct", "BroadcastNestedLoopJoin")
+    approx = {(r.vec_a, r.vec_b) for r in lsh.collect()}
+    assert approx == {(r.vec_a, r.vec_b) for r in rows}
 
 
 def test_multimodal_plumbing(spark):
@@ -124,6 +156,10 @@ def test_corpus_curation(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     losers = {r.doc_id for r in near_dup_losers(docs).collect()}
+    # the scale-safe default (minhash candidates) removes the same documents
+    # as the exact quadratic pair join on this corpus
+    exact_losers = {r.doc_id for r in near_dup_losers(docs, dedup="exact").collect()}
+    assert losers == exact_losers
     out = curate(docs, min_quality=0.3, lang=None)
     rows = out.collect()
     assert rows
