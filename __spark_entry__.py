@@ -263,6 +263,74 @@ SELECT event_id,
 FROM events
 """
 
+def _convert_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML converter input (≙ the reference's XML converter layer,
+    ``mixins/ConvertInputProcessor.scala:81-129``): events rendered as XML
+    records, re-extracted with JVM-side xpath + try_cast — the round trip
+    must reproduce the source columns exactly."""
+    from geomesa_nifi_spark.functions.convert import apply_converter
+
+    ev = _events(spark, sf_dir)
+    xml = ev.select(
+        F.format_string(
+            '<e id="%s"><t>%s</t><u>%s</u></e>',
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("user_id"),
+        ).alias("value")
+    )
+    cfg = {
+        "type": "xml",
+        "fields": [
+            {"name": "event_id", "xpath": "/e/@id", "cast": "long"},
+            {"name": "event_type", "xpath": "/e/t"},
+            {"name": "user_id", "xpath": "/e/u", "cast": "long"},
+        ],
+    }
+    return apply_converter(spark, cfg, df=xml)
+
+
+_CONVERT_XML_SQL = "SELECT event_id, event_type, user_id FROM events"
+
+
+def _convert_typed_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter type-system breadth (≙ list/map/UUID/geometry attribute
+    types, ``records/SimpleFeatureRecordConverter.scala:387-528``): JSON map
+    and list parsing, element extraction, UUID validation, WKT point."""
+    from geomesa_nifi_spark.functions.convert import apply_converter
+
+    ev = _events(spark, sf_dir)
+    cfg = {
+        "fields": [
+            {"name": "event_id", "transform": "$event_id"},
+            {"name": "k", "transform": "mapValue(jsonMap($props), 'k')::int"},
+            {"name": "k_first", "transform": "listItem(list($event_id, $user_id), 0)"},
+            {
+                "name": "jl",
+                "transform": "listItem(jsonList('int', concat('[', toString(mapValue(jsonMap($props), 'k')), ']')), 0)",
+            },
+            {"name": "pt", "transform": "point($user_id, $event_id)"},
+            {"name": "valid_uuid", "transform": "'123E4567-e89b-12d3-a456-426614174000'::uuid"},
+            {"name": "bad_uuid", "transform": "toString($event_type)::uuid"},
+        ],
+        "id-field": "md5(toString($event_id))",
+    }
+    return apply_converter(spark, cfg, df=ev)
+
+
+_CONVERT_TYPED_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k')::int AS k,
+       event_id AS k_first,
+       json_extract_string(props, '$.k')::int AS jl,
+       'POINT (' || (user_id::double)::varchar || ' ' || (event_id::double)::varchar || ')' AS pt,
+       '123e4567-e89b-12d3-a456-426614174000' AS valid_uuid,
+       NULL::varchar AS bad_uuid,
+       md5(event_id::varchar) AS "__fid"
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings operators
 # ---------------------------------------------------------------------------
@@ -555,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_activity": _events_windowed_activity,
         # conversion layer (SURVEY §2.2)
         "convert_json_props": _convert_json_props,
+        "convert_xml_records": _convert_xml_records,
+        "convert_typed_props": _convert_typed_props,
         "extract_pages_cdc": _extract_pages_cdc,
         # training-data pipeline ops
         "doc_text_stats": _doc_text_stats,
@@ -583,6 +653,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,
         "events_windowed_activity": _WINDOWED_SQL,
         "convert_json_props": _CONVERT_JSON_SQL,
+        "convert_xml_records": _CONVERT_XML_SQL,
+        "convert_typed_props": _CONVERT_TYPED_SQL,
         "doc_text_stats": _DOC_TEXT_STATS_SQL,
         "doc_exact_dups": _DOC_EXACT_DUPS_SQL,
         "doc_ngram_jaccard": _DOC_NGRAM_JACCARD_SQL,

@@ -54,7 +54,7 @@ class ConverterError(ValueError):
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) | (?P<comma>,) |
-        (?P<cast>::(?:int|long|double|float|boolean|string)) |
+        (?P<cast>::(?:int|long|double|float|boolean|string|bytes|date|uuid)) |
         (?P<str>'[^']*') |
         (?P<num>-?\d+(?:\.\d+)?) |
         (?P<ref>\$[A-Za-z_0-9]+) |
@@ -70,7 +70,14 @@ _CAST_TYPES = {
     "::float": "float",
     "::boolean": "boolean",
     "::string": "string",
+    "::bytes": "binary",
+    "::date": "date",
 }
+
+_UUID_RE = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
 
 
 def _tokenize(s: str):
@@ -114,6 +121,12 @@ class _Parser:
         col = self._primary()
         while self.peek()[0] == "cast":
             _, cast = self.take()
+            if cast == "::uuid":
+                # normalized-or-null UUID validation (the reference's UUID
+                # attribute type, SimpleFeatureRecordConverter.scala:442-449)
+                s = col.cast("string")
+                col = F.when(s.rlike(_UUID_RE), F.lower(s))
+                continue
             # try_cast, not cast: one malformed record must route to the
             # failure output, not abort the job (LogErrors semantics,
             # ConvertInputProcessor.scala:175-182; Spark 4 is ANSI by
@@ -174,6 +187,48 @@ class _Parser:
             return args[0].cast("string")
         if fn == "lineNo":
             return F.monotonically_increasing_id()
+        # --- type-system breadth (SimpleFeatureRecordConverter.scala:387-528):
+        # lists, maps, nested records and geometries as first-class transform
+        # outputs, all JVM expressions (from_json / element_at / to_json).
+        if fn == "list":
+            return F.array(*args)
+        if fn == "jsonList":
+            # jsonList('int', $x): parse a JSON array string into array<type>
+            lit = raw_args[0][0]
+            if lit[0] != "str":
+                raise ConverterError("jsonList() needs a literal element type")
+            return F.from_json(args[1].cast("string"), f"array<{lit[1][1:-1]}>")
+        if fn == "jsonMap":
+            return F.from_json(args[0].cast("string"), "map<string,string>")
+        if fn == "mapValue":
+            return F.element_at(args[0], args[1])
+        if fn == "listItem":
+            # 0-based like the reference's transform (list indexing)
+            return F.element_at(args[0], args[1] + F.lit(1))
+        if fn == "toJson":
+            # nested record -> JSON string (Choice/record attribute fallback)
+            return F.to_json(args[0])
+        if fn == "point":
+            # geometry as validated WKT text: no geometry runtime in this
+            # environment, so POINT(x y) is carried as its canonical WKT —
+            # the contract (storage + round-trip), not the JTS byte layout
+            return F.concat(
+                F.lit("POINT ("),
+                args[0].try_cast("double").cast("string"),
+                F.lit(" "),
+                args[1].try_cast("double").cast("string"),
+                F.lit(")"),
+            )
+        if fn == "geometry":
+            # WKT passthrough with a shape sanity-check; malformed -> null
+            s = F.trim(args[0].cast("string"))
+            return F.when(
+                F.upper(s).rlike(
+                    r"^(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|"
+                    r"MULTIPOLYGON|GEOMETRYCOLLECTION)\s*\(.*\)$"
+                ),
+                s,
+            )
         raise ConverterError(f"unknown transform function {fn}()")
 
 
@@ -217,6 +272,18 @@ def apply_converter(
                 .option("columnNameOfCorruptRecord", CORRUPT_COL)
                 .json(path)
             )
+        elif ctype == "xml":
+            # native Spark 4 XML datasource (the reference's XML converter
+            # input, mixins/ConvertInputProcessor.scala:81-129); fields of the
+            # rowTag element become typed columns referenced as $name, while
+            # per-field "xpath" extraction below works on raw-string records
+            df = (
+                spark.read.format("xml")
+                .option("rowTag", options.get("row-tag", "record"))
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                .load(path)
+            )
         else:
             raise ConverterError(f"unsupported converter type {ctype}")
 
@@ -234,11 +301,21 @@ def apply_converter(
             return F.lit(attrs[ref])
         return F.col(ref)
 
+    record_col = config.get("record-column", "value")
     cols = []
     for field in config.get("fields", []):
         name = field["name"]
         if "json-path" in field and ctype == "json":
             src = F.get_json_object(F.to_json(F.struct(*df.columns)), field["json-path"])
+            cols.append(src.alias(name))
+            continue
+        if "xpath" in field and ctype == "xml":
+            # XPath over a raw XML string column (record mode): JVM-side
+            # xpath_string, codegen'd — no Python in the row path.  An
+            # optional "cast" try_casts the extracted text (malformed -> null)
+            src = F.xpath_string(F.col(record_col), F.lit(field["xpath"]))
+            if "cast" in field:
+                src = src.try_cast(field["cast"])
             cols.append(src.alias(name))
             continue
         transform = field.get("transform", f"${name}")

@@ -150,3 +150,83 @@ def test_arrow_export_dictionary(spark):
     t = to_arrow(df)
     assert t.num_rows == 50
     assert pa.types.is_dictionary(t.schema.field("cat").type)
+
+
+XML_TEXT = """\
+<features>
+  <record><fid>1</fid><name>Ada</name><age>20</age></record>
+  <record><fid>2</fid><name>Grace</name><age>notanint</age></record>
+</features>
+"""
+
+
+def test_xml_file_converter(spark, tmp_path):
+    """XML converter input via the native datasource (rowTag records);
+    mirrors the reference's XML converter layer
+    (mixins/ConvertInputProcessor.scala:81-129)."""
+    p = tmp_path / "example.xml"
+    p.write_text(XML_TEXT)
+    cfg = {
+        "type": "xml",
+        "options": {"row-tag": "record"},
+        "fields": [
+            {"name": "fid", "transform": "$fid::int"},
+            {"name": "name", "transform": "$name::string"},
+            {"name": "age", "transform": "toString($age)::int"},
+        ],
+    }
+    rows = {r.fid: r for r in apply_converter(spark, cfg, path=str(p)).collect()}
+    assert rows[1].name == "Ada" and rows[1].age == 20
+    assert rows[2].age is None  # malformed value nulls out, row survives
+
+
+def test_xml_xpath_record_mode(spark):
+    """xpath extraction over a raw XML string column (record mode)."""
+    df = spark.createDataFrame(
+        [('<e id="7"><k>41</k></e>',), ("<e><k>broken</k></e>",)], ["value"]
+    )
+    cfg = {
+        "type": "xml",
+        "fields": [
+            {"name": "eid", "xpath": "/e/@id", "cast": "long"},
+            {"name": "k", "xpath": "/e/k", "cast": "int"},
+        ],
+    }
+    rows = apply_converter(spark, cfg, df=df).collect()
+    assert (rows[0].eid, rows[0].k) == (7, 41)
+    assert rows[1].eid is None and rows[1].k is None
+
+
+def test_typed_transforms(spark):
+    """list/map/UUID/geometry attribute types
+    (SimpleFeatureRecordConverter.scala:387-528)."""
+    df = spark.createDataFrame(
+        [(1, '{"a": "10", "b": "x"}', "2.5", "POINT (1 2)")],
+        ["i", "m", "lonstr", "wkt"],
+    )
+    cfg = {
+        "fields": [
+            {"name": "a", "transform": "mapValue(jsonMap($m), 'a')::int"},
+            {"name": "missing", "transform": "mapValue(jsonMap($m), 'zz')"},
+            {"name": "first", "transform": "listItem(list('p', 'q'), 0)"},
+            {"name": "jl", "transform": "listItem(jsonList('long', '[5, 6]'), 1)"},
+            {"name": "uuid_ok", "transform": "'123E4567-E89B-12D3-A456-426614174000'::uuid"},
+            {"name": "uuid_bad", "transform": "'nope'::uuid"},
+            {"name": "pt", "transform": "point($lonstr, $i)"},
+            {"name": "geom_ok", "transform": "geometry($wkt)"},
+            {"name": "geom_bad", "transform": "geometry('FOO (1 2)')"},
+            {"name": "nested", "transform": "toJson(list($i, $i))"},
+            {"name": "bin", "transform": "'ab'::bytes"},
+            {"name": "d", "transform": "'2024-03-04'::date"},
+        ]
+    }
+    r = apply_converter(spark, cfg, df=df).collect()[0]
+    assert r.a == 10 and r.missing is None
+    assert r.first == "p" and r.jl == 6
+    assert r.uuid_ok == "123e4567-e89b-12d3-a456-426614174000"
+    assert r.uuid_bad is None
+    assert r.pt == "POINT (2.5 1.0)"
+    assert r.geom_ok == "POINT (1 2)" and r.geom_bad is None
+    assert r.nested == "[1,1]"
+    assert bytes(r.bin) == b"ab"
+    assert r.d.year == 2024 and r.d.month == 3 and r.d.day == 4
