@@ -117,11 +117,9 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _replay(spark: SparkSession, sf_dir: str, batch_order, mode: str = "cow") -> DataFrame:
+def _replay_table(spark: SparkSession, sf_dir: str, batch_order, mode: str = "cow"):
     """Replay the events change stream through a real lake table (MERGE per
-    batch, batches = event_id mod 4, applied in ``batch_order``) and return
-    the final visible state.  Tombstones make the result identical for any
-    batch order — which is exactly what the scrambled variant asserts."""
+    batch, batches = event_id mod 4, applied in ``batch_order``)."""
     from geomesa_nifi_spark.lake import LakeTable, merge_changes
 
     ch = _changes(spark, sf_dir)
@@ -138,14 +136,23 @@ def _replay(spark: SparkSession, sf_dir: str, batch_order, mode: str = "cow") ->
     for b in batch_order:
         batch = ch.filter(F.pmod(F.col("src_offset"), F.lit(len(batch_order))) == b)
         merge_changes(table, batch, batch_id=f"entry-{b}", mode=mode)
-    final = table.scan()
-    return final.select(
+    return table
+
+
+def _final_state(table) -> DataFrame:
+    return table.scan().select(
         "url",
         F.unix_micros("warc_ts").alias("warc_us"),
         "src_offset",
         "event_type",
         "value",
     )
+
+
+def _replay(spark: SparkSession, sf_dir: str, batch_order, mode: str = "cow") -> DataFrame:
+    """Final visible state after replay.  Tombstones make the result identical
+    for any batch order — which is exactly what the scrambled variant asserts."""
+    return _final_state(_replay_table(spark, sf_dir, batch_order, mode=mode))
 
 
 def _merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +167,39 @@ def _merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same replay through the merge-on-read path (delta commits + read-time
     LWW resolution + auto-compaction) — final state must be identical."""
     return _replay(spark, sf_dir, [1, 3, 0, 2], mode="mor")
+
+
+def _fid_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-id rewrite on a live table (≙ ``UpdateGeoMesaRecord``'s fid
+    update): keys of every 7th user move to a new domain; the final state
+    must equal the LWW oracle with the same rename applied."""
+    from geomesa_nifi_spark.lake import rewrite_fids
+
+    table = _replay_table(spark, sf_dir, [0, 1, 2, 3])
+    ch = _changes(spark, sf_dir)
+    mapping = (
+        ch.select("url").distinct()
+        .filter(F.regexp_extract("url", r"(\d+)$", 1).cast("int") % 7 == 0)
+        .select(
+            F.col("url").alias("old_fid"),
+            F.regexp_replace("url", "^https://u", "https://m").alias("new_fid"),
+        )
+    )
+    rewrite_fids(table, mapping, batch_id="entry-fid-rewrite")
+    return _final_state(table)
+
+
+_FID_REWRITE_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT CASE WHEN regexp_extract(url, '(\\d+)$', 1)::int % 7 = 0
+            THEN regexp_replace(url, '^https://u', 'https://m') ELSE url END AS url,
+       epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 def _schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay": _merge_replay,
         "cdc_merge_replay_scrambled": _merge_replay_scrambled,
         "cdc_merge_replay_mor": _merge_replay_mor,
+        "cdc_fid_rewrite": _fid_rewrite,
         "cdc_schema_evolution": _schema_evolution_replay,
         "cdc_ingest_counts": _ingest_counts,
         "events_windowed_activity": _events_windowed_activity,
@@ -649,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_replay": _LWW_STATE_SQL,
         "cdc_merge_replay_scrambled": _LWW_STATE_SQL,
         "cdc_merge_replay_mor": _LWW_STATE_SQL,
+        "cdc_fid_rewrite": _FID_REWRITE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,
         "events_windowed_activity": _WINDOWED_SQL,

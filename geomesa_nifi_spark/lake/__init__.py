@@ -15,5 +15,6 @@ from geomesa_nifi_spark.lake.merge import (  # noqa: F401
     append_only,
     compact,
     merge_changes,
+    rewrite_fids,
 )
 from geomesa_nifi_spark.lake.table import BUCKET_COL, LakeTable  # noqa: F401

@@ -305,11 +305,29 @@ def _merge_prepared(
             F.sum(F.when(F.col("_action") == "tombstone", 1).otherwise(0)).alias("tombstoned"),
         )
 
+    # Opt-in CoW changelog (table property changelog.enabled): the bucket
+    # rewrite has no row-level pre-image, so the per-batch change rows (the
+    # src-winner subset of the resolution) are retained as side files listed
+    # in the commit summary — invisible to scans, readable by table_changes.
+    cl_enabled = str(base.properties.get("changelog.enabled", "false")).lower() == "true"
+    if cl_enabled:
+        resolved = resolved.persist()
+
     out = resolved.filter(F.col("_action") != "reject").select(
         *[F.col(c) for c in final_cols], F.col(DELETED_COL), F.col(BUCKET_COL)
     )
 
     new_files = table.write_files(out, base.version + 1, max_records_per_file)
+
+    changelog_files = []
+    if cl_enabled:
+        changed = resolved.filter(
+            F.col("_action").isin("insert", "update", "delete", "tombstone")
+        ).select(*[F.col(c) for c in final_cols], F.col(DELETED_COL), F.col(BUCKET_COL))
+        changelog_files = table.write_files(
+            changed, base.version + 1, max_records_per_file, kind="changelog"
+        )
+        resolved.unpersist()
 
     metrics: dict = {}
     if obs is not None:
@@ -327,6 +345,7 @@ def _merge_prepared(
         "update_mode": update_mode,
         "touched_buckets": touched,
         "rows_written": sum(f.rows for f in new_files),
+        "changelog_files": [f.to_json() for f in changelog_files],
         **metrics,
         "lineage": lineage or {},
     }
@@ -404,6 +423,67 @@ def append_only(
         )
     )
     return MergeResult(snapshot=snap, metrics={"appended": sum(f.rows for f in new_files)})
+
+
+def rewrite_fids(
+    table: LakeTable,
+    mapping: DataFrame,
+    old_col: str = "old_fid",
+    new_col: str = "new_fid",
+    batch_id: str | None = None,
+    lineage: dict | None = None,
+) -> MergeResult:
+    """Feature-id rewrite: change the key of existing rows in place
+    (``UpdateGeoMesaRecord.scala:175-180`` — the reference removes the old
+    feature and writes it back under the new id).
+
+    Composed on the engine's own CDC merge: each matched row becomes a
+    tombstone under the old key plus an upsert under the new key, carrying
+    the stored row's LWW order keys so both win against the stored state
+    (source wins ties).  One merge batch, bucket-pruned on both the old and
+    new keys — O(touched buckets) at any table size.  Mapping rows whose old
+    key doesn't exist are counted as failures (``:168-170``), not inserted.
+    """
+    key = table.key_col
+    data_cols = [f.name for f in table.schema().fields]
+    m = mapping.select(
+        F.col(old_col).cast("string").alias("_m_old"),
+        F.col(new_col).cast("string").alias("_m_new"),
+    )
+    # bucket pruning from the mapping's old keys: <= num_buckets rows
+    buckets = sorted(
+        r[0]
+        for r in m.select(table.bucket_expr(F.col("_m_old")).alias("b")).distinct().collect()
+    )
+    cur = table.scan(buckets=buckets)
+    matched = cur.join(F.broadcast(m), cur[key] == F.col("_m_old"), "inner")
+    moved = matched.select(
+        *[F.col("_m_new").alias(key) if c == key else F.col(c) for c in data_cols],
+        F.lit("upsert").alias(OP_COL_DEFAULT),
+    )
+    # The tombstone must strictly dominate the stored row (not just tie it),
+    # or a stale replay of the original row would resurrect the old key —
+    # the rewrite is an action that happened *after* the stored state, so its
+    # tiebreak advances by one.
+    tiebreak = table.tiebreak_col
+    dropped = matched.select(
+        F.col(key),
+        F.col(table.ts_col),
+        *([(F.col(tiebreak) + F.lit(1)).alias(tiebreak)] if tiebreak else []),
+        F.lit(OP_DELETE).alias(OP_COL_DEFAULT),
+    )
+    n_mapped = m.count()
+    n_matched = matched.count()
+    batch = moved.unionByName(dropped, allowMissingColumns=True)
+    result = merge_changes(
+        table,
+        batch,
+        batch_id=batch_id,
+        lineage={**(lineage or {}), "operation": "rewrite_fids"},
+    )
+    result.metrics["fid_rewrites"] = n_matched
+    result.metrics["fid_missing"] = n_mapped - n_matched
+    return result
 
 
 def _resolve(

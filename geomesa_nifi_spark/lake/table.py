@@ -366,6 +366,9 @@ class LakeTable:
         for snap in self.ledger.snapshots():
             for f in snap.files:
                 referenced.add(os.path.normpath(f.path))
+            # CoW changelog side files live in the summary, not in files
+            for cf in snap.summary.get("changelog_files") or []:
+                referenced.add(os.path.normpath(cf["path"]))
         removed = []
         data_root = os.path.join(self.root, "data")
         for dirpath, _d, filenames in os.walk(data_root):

@@ -7,11 +7,14 @@ Merge-on-read makes this cheap and exact: each ``merge_mor`` commit's delta
 files ARE the change events of that batch (one LWW survivor per key,
 tombstones marked).  ``table_changes`` replays them between two snapshot
 versions with the commit metadata attached.  ``append`` commits likewise
-expose their rows as inserts.  Copy-on-write commits rewrite buckets without
-retaining a row-level pre-image, so their per-row change set is not
-reconstructible from data files alone — the same limitation real lakehouse
-changelog readers have — and they are surfaced as a ``rewrite`` marker row
-count from the commit summary instead.
+expose their rows as inserts.
+
+Copy-on-write commits rewrite buckets without a row-level pre-image, so by
+default they only appear as ``rewrite_commits`` summaries — the same
+limitation real lakehouse changelog readers have.  Setting the table
+property ``changelog.enabled=true`` makes every CoW merge also retain its
+change rows as side files (listed in the commit summary, invisible to
+scans), which this reader then replays exactly like MoR deltas.
 """
 
 from __future__ import annotations
@@ -49,14 +52,22 @@ def table_changes(
     pieces: list[DataFrame] = []
     for snap in snaps:
         op = snap.summary.get("operation")
-        if op not in ("merge_mor", "append"):
+        if op == "merge":
+            # CoW commit: readable only when the table retained its change
+            # rows (changelog.enabled) — the summary lists those side files
+            cl = snap.summary.get("changelog_files") or []
+            paths = [os.path.join(table.root, f["path"]) for f in cl]
+            if not paths:
+                continue
+        elif op in ("merge_mor", "append"):
+            parent_files = {f.path for f in table.snapshot(snap.parent_version).files} \
+                if snap.parent_version is not None else set()
+            added = [f for f in snap.files if f.path not in parent_files]
+            if not added:
+                continue
+            paths = [os.path.join(table.root, f.path) for f in added]
+        else:
             continue
-        parent_files = {f.path for f in table.snapshot(snap.parent_version).files} \
-            if snap.parent_version is not None else set()
-        added = [f for f in snap.files if f.path not in parent_files]
-        if not added:
-            continue
-        paths = [os.path.join(table.root, f.path) for f in added]
         df = spark.read.schema(read_schema).parquet(*paths)
         df = df.withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
         pieces.append(

@@ -1,0 +1,118 @@
+"""Kafka source shim: reference consumer options -> Structured Streaming.
+
+The reference's Kafka record source (``GetGeoMesaKafkaRecord.scala:313-451``)
+is configured with processor properties; this module translates the same
+knobs to ``spark.readStream.format("kafka")`` options so a deployment with
+the spark-sql-kafka jar swaps the file source for Kafka without touching the
+pipeline:
+
+    reference property           spark option / mechanism
+    ------------------           ------------------------
+    Kafka Brokers (:330)         kafka.bootstrap.servers
+    Kafka Topics                 subscribe
+    Consumer Group ID (:336)     kafka.group.id + checkpoint dir naming —
+                                 offsets are owned by the CHECKPOINT, the
+                                 group id exists only for lag monitoring
+    Record Maximum Batch Size    maxOffsetsPerTrigger (:382-390)
+    Initial Offset (:343)        startingOffsets latest|earliest
+    Consumer Count (:339)        minPartitions (Spark splits partitions
+                                 across tasks; consumer threads are not a
+                                 user knob in the micro-batch model)
+    Max Latency (:392-420)       trigger(processingTime=...), applied by the
+                                 caller on writeStream, returned as metadata
+
+Commit-after-ack discipline (:298-302) is inherent here: the checkpoint
+records offsets only after ``foreachBatch`` returns, and the ledger's batch
+ids make the redelivered epoch a no-op (exactly-once end to end).
+
+The spark-sql-kafka jar is not present in this environment, so
+``read_kafka_stream`` raises a clear error at ``load()`` time; the option
+mapping itself is pure and unit-tested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+class KafkaConfigError(ValueError):
+    pass
+
+
+_INITIAL_OFFSETS = {"latest": "latest", "earliest": "earliest"}
+
+
+@dataclass(frozen=True)
+class KafkaPlan:
+    """Resolved source options + the trigger/checkpoint the caller applies."""
+
+    options: dict[str, str]
+    trigger_processing_time: str | None
+    checkpoint_suffix: str
+
+
+def kafka_source_options(config: dict) -> KafkaPlan:
+    """Translate reference-style consumer properties to Spark Kafka options.
+
+    ``config`` keys (reference property names, lower-kebab):
+      brokers (required), topic (required), group-id (required),
+      batch-size (records/trigger), initial-offset (latest|earliest),
+      consumer-count, max-latency-ms.
+    """
+    missing = [k for k in ("brokers", "topic", "group-id") if not config.get(k)]
+    if missing:
+        raise KafkaConfigError(f"missing required kafka config: {missing}")
+
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": str(config["brokers"]),
+        "subscribe": str(config["topic"]),
+        # group id is observability-only under Structured Streaming: offsets
+        # live in the checkpoint (commit-after-ack), never in the broker
+        "kafka.group.id": str(config["group-id"]),
+        # the processor fails fast on missing topics; match that
+        "failOnDataLoss": "true",
+    }
+
+    initial = str(config.get("initial-offset", "latest")).lower()
+    if initial not in _INITIAL_OFFSETS:
+        raise KafkaConfigError(f"initial-offset must be latest|earliest, got {initial!r}")
+    opts["startingOffsets"] = _INITIAL_OFFSETS[initial]
+
+    if "batch-size" in config:
+        n = int(config["batch-size"])
+        if n <= 0:
+            raise KafkaConfigError("batch-size must be positive")
+        opts["maxOffsetsPerTrigger"] = str(n)
+
+    if "consumer-count" in config:
+        n = int(config["consumer-count"])
+        if n <= 0:
+            raise KafkaConfigError("consumer-count must be positive")
+        opts["minPartitions"] = str(n)
+
+    trigger = None
+    if "max-latency-ms" in config:
+        ms = int(config["max-latency-ms"])
+        if ms <= 0:
+            raise KafkaConfigError("max-latency-ms must be positive")
+        trigger = f"{ms} milliseconds"
+
+    # one checkpoint per (group, topic): re-using the group id for the
+    # checkpoint path gives the reference's consumer-group resume semantics
+    suffix = f"kafka-{config['group-id']}-{config['topic']}"
+    return KafkaPlan(options=opts, trigger_processing_time=trigger, checkpoint_suffix=suffix)
+
+
+def read_kafka_stream(spark, config: dict):
+    """Build the streaming DataFrame (requires the spark-sql-kafka jar).
+
+    Returns (df, plan): ``df`` has the standard Kafka columns (key, value,
+    topic, partition, offset, timestamp); callers convert ``value`` with the
+    converter layer and hand batches to the same ``foreachBatch`` body the
+    file pipeline uses.
+    """
+    plan = kafka_source_options(config)
+    reader = spark.readStream.format("kafka")
+    for k, v in plan.options.items():
+        reader = reader.option(k, v)
+    return reader.load(), plan

@@ -103,15 +103,24 @@ def run_file_replay(
             from geomesa_nifi_spark.functions.convert import split_errors
 
             good, bad = split_errors(prepared, list(required_cols))
-            n_bad = bad.count()
-            if n_bad:
-                (
-                    bad.withColumn("_quarantine_batch", F.lit(batch_id))
-                    .write.mode("append")
-                    .parquet(quarantine_dir)
-                )
-            lineage["quarantined"] = n_bad
-            prepared = good
+            # idempotent under crash/restart re-delivery: a batch the ledger
+            # already committed must not duplicate its quarantine rows — and
+            # the write itself is a deterministic per-batch directory with
+            # overwrite semantics, so a crash *between* quarantine write and
+            # ledger commit also can't double-write on retry
+            if batch_id in table.committed_batch_ids():
+                lineage["quarantined"] = 0
+                prepared = good
+            else:
+                n_bad = bad.count()
+                if n_bad:
+                    (
+                        bad.withColumn("_quarantine_batch", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .parquet(f"{quarantine_dir}/batch={batch_id}")
+                    )
+                lineage["quarantined"] = n_bad
+                prepared = good
         if write_mode == "append":
             result: MergeResult = append_only(table, prepared, batch_id=batch_id, lineage=lineage)
         else:

@@ -84,3 +84,42 @@ def test_fid_hash_deterministic_and_null_safe(spark):
     assert len(set(fids)) == 3  # null vs "" vs value all distinct
     again = [r["__fid"] for r in with_fid(df).collect()]
     assert fids == again
+
+
+def test_cow_changelog_retention(spark, tmp_path):
+    """changelog.enabled=true: CoW merges retain their change rows as side
+    files and table_changes replays them like MoR deltas; scans and vacuum
+    stay correct."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="url",
+        ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+        properties={"changelog.enabled": "true"},
+    )
+    merge_changes(t, spark.createDataFrame([ev("a", 1, "a1"), ev("b", 2, "b1")], CHANGE),
+                  batch_id="1")
+    merge_changes(t, spark.createDataFrame(
+        [ev("a", 3, "a2"), ev("b", 4, None, op="delete"), ev("a", 0, "stale")], CHANGE),
+        batch_id="2")
+    ch = table_changes(t).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r["_batch_id"], []).append(r)
+    assert {r.url for r in by["1"]} == {"a", "b"}
+    assert all(r["_change_type"] == "insert_or_update" for r in by["1"])
+    # batch 2: a updated (the stale event lost LWW inside the batch and is
+    # absent), b deleted
+    b2 = {r.url: r for r in by["2"]}
+    assert b2["a"]["_change_type"] == "insert_or_update" and b2["a"].text == "a2"
+    assert b2["b"]["_change_type"] == "delete"
+    assert len(by["2"]) == 2
+    # scans never see changelog side files
+    assert {r.url for r in t.scan().collect()} == {"a"}
+    # vacuum keeps summary-referenced changelog files
+    assert t.vacuum() == []
+    assert len(table_changes(t).collect()) == len(ch)
+    # without the property, CoW commits stay summary-only (rewrite_commits)
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA, key_col="url",
+                          ts_col="warc_ts", tiebreak_col="offset", num_buckets=4)
+    merge_changes(t2, spark.createDataFrame([ev("a", 1, "a1")], CHANGE), batch_id="1")
+    assert table_changes(t2).count() == 0
+    assert rewrite_commits(t2)

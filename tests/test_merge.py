@@ -287,3 +287,71 @@ def test_bucket_pruning_in_merge(spark, table):
             assert f.path in files_before  # untouched buckets carried over
     assert state(table)["u0"].text == "patched"
     assert table.scan().count() == 100
+
+
+def test_rewrite_fids(spark, table):
+    from geomesa_nifi_spark.lake import rewrite_fids
+
+    merge_changes(
+        table,
+        spark.createDataFrame(
+            [ev("a", 1, "ta"), ev("b", 2, "tb"), ev("c", 3, "tc")], CHANGE
+        ),
+        batch_id="seed",
+    )
+    mapping = spark.createDataFrame(
+        [Row(old_fid="a", new_fid="a2"), Row(old_fid="gone", new_fid="g2")]
+    )
+    r = rewrite_fids(table, mapping, batch_id="rw")
+    st = state(table)
+    # the row moved: payload and LWW order keys survive under the new key
+    assert set(st) == {"a2", "b", "c"}
+    assert st["a2"].text == "ta" and st["a2"].offset == 1
+    assert r.metrics["fid_rewrites"] == 1
+    assert r.metrics["fid_missing"] == 1  # unmatched old key = failure
+    # old key left a tombstone: a stale replay of the original row cannot
+    # resurrect it
+    merge_changes(
+        table, spark.createDataFrame([ev("a", 1, "ta")], CHANGE), batch_id="stale"
+    )
+    assert "a" not in state(table)
+    # idempotent replay of the rewrite batch is a no-op
+    assert rewrite_fids(table, mapping, batch_id="rw").skipped
+
+
+def test_partial_update_visibility_column(spark, tmp_path):
+    """Per-row visibility update through partial mode
+    (UpdateGeoMesaRecord.scala:175-180: vis is an updatable attribute)."""
+    from geomesa_nifi_spark.operators.visibility import filter_by_auths
+
+    vis_schema = T.StructType(list(SCHEMA.fields) + [T.StructField("vis", T.StringType())])
+    t = LakeTable.create(
+        spark, str(tmp_path / "tv"), vis_schema,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+    )
+    rows = [
+        Row(url="a", warc_ts=ts(1), offset=1, text="ta", lang="en", vis="user", op="upsert"),
+        Row(url="b", warc_ts=ts(2), offset=2, text="tb", lang="en", vis="user", op="upsert"),
+    ]
+    change = T.StructType(list(vis_schema.fields) + [T.StructField("op", T.StringType())])
+    merge_changes(t, spark.createDataFrame(rows, change), batch_id="1")
+    # partial update: change ONLY a's visibility, payload untouched
+    partial = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("vis", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ])
+    merge_changes(
+        t,
+        spark.createDataFrame(
+            [Row(url="a", warc_ts=ts(5), offset=5, vis="user&admin", op="update")], partial
+        ),
+        batch_id="2",
+        update_mode="partial",
+    )
+    st = {r.url: r for r in t.scan().collect()}
+    assert st["a"].vis == "user&admin" and st["a"].text == "ta"
+    user_view = {r.url for r in filter_by_auths(t.scan(), ["user"], vis_col="vis").collect()}
+    assert user_view == {"b"}  # a now needs admin too

@@ -188,6 +188,15 @@ def test_quarantine_routing(spark, tmp_path):
         .count()
     )
     assert t.scan().count() == expected
+    # re-delivery (fresh checkpoint, same pipeline id -> same batch ids) must
+    # not duplicate quarantine rows: the dead-letter write is gated on the
+    # ledger's committed batch ids, like the merge itself
+    stats2 = run_file_replay(
+        spark, t, str(d), str(tmp_path / "ckpt2"), pipeline_id="q",
+        extract=False, quarantine_dir=q,
+    )
+    assert stats2.skipped == stats2.batches
+    assert spark.read.parquet(q).count() == 20
 
 
 def test_append_mode_stream(spark, tmp_path, replay_dir):
@@ -199,3 +208,44 @@ def test_append_mode_stream(spark, tmp_path, replay_dir):
     # append keeps every non-null event row (no dedup, no delete handling)
     events = spark.read.parquet(replay_dir)
     assert t.scan().count() == events.count()
+
+
+def test_kafka_option_mapping():
+    """Reference consumer properties -> Spark Kafka options
+    (GetGeoMesaKafkaRecord.scala:313-451); pure mapping, no broker needed."""
+    import pytest
+
+    from geomesa_nifi_spark.streaming.kafka import KafkaConfigError, kafka_source_options
+
+    plan = kafka_source_options({
+        "brokers": "b1:9092,b2:9092",
+        "topic": "changes",
+        "group-id": "cdc",
+        "batch-size": 5000,
+        "initial-offset": "earliest",
+        "consumer-count": 4,
+        "max-latency-ms": 2000,
+    })
+    assert plan.options["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert plan.options["subscribe"] == "changes"
+    assert plan.options["kafka.group.id"] == "cdc"
+    assert plan.options["maxOffsetsPerTrigger"] == "5000"
+    assert plan.options["startingOffsets"] == "earliest"
+    assert plan.options["minPartitions"] == "4"
+    assert plan.trigger_processing_time == "2000 milliseconds"
+    assert plan.checkpoint_suffix == "kafka-cdc-changes"
+
+    # defaults: latest offsets, no rate limit
+    d = kafka_source_options({"brokers": "b", "topic": "t", "group-id": "g"})
+    assert d.options["startingOffsets"] == "latest"
+    assert "maxOffsetsPerTrigger" not in d.options
+    assert d.trigger_processing_time is None
+
+    with pytest.raises(KafkaConfigError):
+        kafka_source_options({"topic": "t", "group-id": "g"})
+    with pytest.raises(KafkaConfigError):
+        kafka_source_options({"brokers": "b", "topic": "t", "group-id": "g",
+                              "initial-offset": "somewhere"})
+    with pytest.raises(KafkaConfigError):
+        kafka_source_options({"brokers": "b", "topic": "t", "group-id": "g",
+                              "batch-size": 0})
