@@ -96,10 +96,11 @@ def _tokenize(s: str):
 class _Parser:
     """expr := primary (cast)* ; primary := literal | ref | fn '(' args ')'"""
 
-    def __init__(self, tokens, resolve_ref):
+    def __init__(self, tokens, resolve_ref, line_no=None):
         self.toks = tokens
         self.i = 0
         self.resolve_ref = resolve_ref
+        self.line_no = line_no
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -186,7 +187,16 @@ class _Parser:
         if fn == "toString":
             return args[0].cast("string")
         if fn == "lineNo":
-            return F.monotonically_increasing_id()
+            # 1-based record number within the input file, matching the
+            # reference's lineNo() (NOT monotonically_increasing_id, whose
+            # partition-encoded values look nothing like line numbers)
+            if self.line_no is not None:
+                return self.line_no()
+            from pyspark.sql import Window
+
+            return F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            ).cast("long")
         # --- type-system breadth (SimpleFeatureRecordConverter.scala:387-528):
         # lists, maps, nested records and geometries as first-class transform
         # outputs, all JVM expressions (from_json / element_at / to_json).
@@ -232,8 +242,8 @@ class _Parser:
         raise ConverterError(f"unknown transform function {fn}()")
 
 
-def compile_transform(expr: str, resolve_ref) -> Column:
-    return _Parser(_tokenize(expr), resolve_ref).parse()
+def compile_transform(expr: str, resolve_ref, line_no=None) -> Column:
+    return _Parser(_tokenize(expr), resolve_ref, line_no=line_no).parse()
 
 
 # --- converter application ---------------------------------------------------
@@ -289,6 +299,25 @@ def apply_converter(
 
     attrs = attributes or {}
 
+    def line_no() -> Column:
+        """1-based line number within each source file (reference lineNo()).
+
+        monotonically_increasing_id is ordered within a partition and
+        partition order follows file offset, so row_number over it —
+        per-file when file metadata exists — reproduces read order.  This is
+        a window (one shuffle): only pay it when the config stores lineNo.
+        """
+        from pyspark.sql import Window
+
+        try:
+            df.select(F.col("_metadata.file_name"))
+            w = Window.partitionBy(F.col("_metadata.file_name")).orderBy(
+                F.monotonically_increasing_id()
+            )
+        except Exception:
+            w = Window.orderBy(F.monotonically_increasing_id())
+        return F.row_number().over(w).cast("long")
+
     def resolve(ref: str) -> Column:
         if ref.isdigit():  # $1 = first field (1-based, like the reference)
             idx = int(ref)
@@ -319,10 +348,12 @@ def apply_converter(
             cols.append(src.alias(name))
             continue
         transform = field.get("transform", f"${name}")
-        cols.append(compile_transform(transform, resolve).alias(name))
+        cols.append(compile_transform(transform, resolve, line_no=line_no).alias(name))
 
     if "id-field" in config:
-        cols.append(compile_transform(config["id-field"], resolve).alias("__fid"))
+        cols.append(
+            compile_transform(config["id-field"], resolve, line_no=line_no).alias("__fid")
+        )
 
     out = df.select(*cols)
     return out

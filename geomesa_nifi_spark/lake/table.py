@@ -381,6 +381,31 @@ class LakeTable:
         return removed
 
 
+def init_schemas(spark: SparkSession, root: str, specs: dict[str, dict]) -> dict[str, "LakeTable"]:
+    """Initialize MANY tables from a name -> spec map, idempotently — the
+    reference's multi-SFT startup init from a properties map
+    (``PutGeoMesa.scala:106-128``: every configured schema is created if
+    absent before the first record flows).
+
+    Spec keys: ``schema`` (StructType, required), ``key_col`` (required),
+    ``ts_col``, ``tiebreak_col``, ``num_buckets``, ``properties``.
+    """
+    out: dict[str, LakeTable] = {}
+    for name, spec in specs.items():
+        out[name] = LakeTable.create(
+            spark,
+            os.path.join(root, name),
+            spec["schema"],
+            key_col=spec["key_col"],
+            ts_col=spec.get("ts_col"),
+            tiebreak_col=spec.get("tiebreak_col"),
+            num_buckets=int(spec.get("num_buckets", 32)),
+            properties=spec.get("properties"),
+            if_not_exists=True,
+        )
+    return out
+
+
 def _bucket_from_path(dirpath: str) -> int:
     for part in reversed(dirpath.split(os.sep)):
         if part.startswith(f"{BUCKET_COL}="):

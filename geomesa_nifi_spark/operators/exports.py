@@ -74,6 +74,57 @@ def export_file(
     return path
 
 
+SCHEMA_LINE_PREFIX = "#schema "
+
+
+def export_self_describing(
+    df: DataFrame, path: str, order_by: list[str] | None = None
+) -> str:
+    """Schema-travels-with-the-file container — the GeoAvro capability
+    (``records/GeoAvroRecordSetWriterFactory.scala:27-87``) without the Avro
+    runtime (no spark-avro jar / Python avro lib in this environment): line 1
+    is ``#schema <StructType JSON>``, every following line one JSON record.
+    Any engine can read the data; ``read_self_describing`` restores the exact
+    Spark types with no external registry or caller-provided schema.
+    """
+    import json as json_mod
+
+    header = SCHEMA_LINE_PREFIX + json_mod.dumps(df.schema.jsonValue())
+    tmp = path + ".rows"
+    export_file(df, "json", tmp, order_by=order_by)
+    with open(path, "w") as out, open(tmp) as rows:
+        out.write(header + "\n")
+        shutil.copyfileobj(rows, out)
+    os.unlink(tmp)
+    return path
+
+
+def read_self_describing(spark, path: str) -> DataFrame:
+    """Read a self-describing export (file or directory of files sharing one
+    schema) without knowing the schema up front."""
+    import json as json_mod
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    first = path
+    if os.path.isdir(path):
+        candidates = sorted(
+            p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
+        )
+        if not candidates:
+            raise FileNotFoundError(f"no files under {path}")
+        first = candidates[0]
+    with open(first) as fh:
+        header = fh.readline().rstrip("\n")
+    if not header.startswith(SCHEMA_LINE_PREFIX):
+        raise ValueError(f"{first} is not a self-describing export (no schema line)")
+    schema = T.StructType.fromJson(json_mod.loads(header[len(SCHEMA_LINE_PREFIX):]))
+    raw = spark.read.text(path)
+    rows = raw.filter(~F.col("value").startswith(SCHEMA_LINE_PREFIX))
+    return rows.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
 def to_arrow(df: DataFrame, dictionary_encode_strings: bool = True):
     """Arrow export; string columns dictionary-encoded like the reference's
     arrow exporter hints."""

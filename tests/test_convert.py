@@ -230,3 +230,57 @@ def test_typed_transforms(spark):
     assert r.nested == "[1,1]"
     assert bytes(r.bin) == b"ab"
     assert r.d.year == 2024 and r.d.month == 3 and r.d.day == 4
+
+
+def test_line_no_is_one_based_per_file(spark, tmp_path):
+    """lineNo() = 1-based line number within each input file (the reference's
+    lineNo transform), not a partition-encoded id."""
+    (tmp_path / "a.csv").write_text("x1\nx2\nx3\n")
+    (tmp_path / "b.csv").write_text("y1\ny2\n")
+    cfg = {
+        "type": "delimited-text",
+        "fields": [
+            {"name": "v", "transform": "$1"},
+            {"name": "ln", "transform": "lineNo()"},
+        ],
+    }
+    rows = apply_converter(spark, cfg, path=str(tmp_path)).collect()
+    got = {r.v: r.ln for r in rows}
+    assert got == {"x1": 1, "x2": 2, "x3": 3, "y1": 1, "y2": 2}
+
+
+def test_self_describing_export_roundtrip(spark, tmp_path):
+    """Schema travels with the file (GeoAvro capability fallback): reader
+    needs no registry and restores exact types."""
+    import datetime as dt
+
+    from pyspark.sql import Row, types as T
+
+    from geomesa_nifi_spark.operators.exports import (
+        export_self_describing,
+        read_self_describing,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+    ])
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=dt.datetime(2024, 1, 2, 3, 4, 5), n=1,
+                tags=["t1", "t2"], m={"x": 1}),
+            Row(k="b", ts=dt.datetime(2024, 2, 2), n=None, tags=[], m={}),
+        ],
+        schema,
+    )
+    p = str(tmp_path / "out.gnsjson")
+    export_self_describing(df, p, order_by=["k"])
+    back = read_self_describing(spark, p)
+    assert back.schema == schema
+    rows = {r.k: r for r in back.collect()}
+    assert rows["a"].ts == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert rows["a"].tags == ["t1", "t2"] and rows["a"].m == {"x": 1}
+    assert rows["b"].n is None

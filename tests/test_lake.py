@@ -144,3 +144,33 @@ def test_vacuum_removes_orphans(spark, tmp_path):
     removed = t.vacuum()
     assert removed  # orphans deleted
     assert t.scan().count() == 20  # live data intact
+
+
+def test_init_schemas_map(spark, tmp_path):
+    """Multi-table idempotent init from a properties map
+    (PutGeoMesa.scala:106-128)."""
+    from pyspark.sql import types as T
+
+    from geomesa_nifi_spark.lake.table import init_schemas
+
+    specs = {
+        "pages": {
+            "schema": T.StructType([
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+            ]),
+            "key_col": "url", "ts_col": "warc_ts", "num_buckets": 4,
+        },
+        "users": {
+            "schema": T.StructType([T.StructField("uid", T.StringType())]),
+            "key_col": "uid",
+            "properties": {"changelog.enabled": "true"},
+        },
+    }
+    tables = init_schemas(spark, str(tmp_path / "lake"), specs)
+    assert set(tables) == {"pages", "users"}
+    assert tables["pages"].num_buckets == 4
+    assert tables["users"].snapshot().properties["changelog.enabled"] == "true"
+    # idempotent: second call returns the existing tables, no new versions
+    again = init_schemas(spark, str(tmp_path / "lake"), specs)
+    assert again["pages"].snapshot().version == 0
