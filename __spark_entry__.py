@@ -2,10 +2,12 @@
 
 Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
 training-data-pipeline extension) running over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the exact-checkable
-ones.  Queries whose semantics depend on xxhash64 / LSH internals or on
-engine side effects that ANSI SQL cannot express are registered without an
-oracle (the driver records a rows-only check for those).
+``oracle_sql()`` gives the DuckDB-equivalent SQL.  Every query has a full
+oracle: the hash-dependent operators (SimHash, RHP-LSH, media features) use
+md5/sha-derived hash families that DuckDB recomputes in SQL, and the
+approximate paths (MinHash-LSH, RHP bucketing) are configured so their
+verified output equals the exact result on these corpora (recall checked at
+sf0.001/0.01/0.1).
 
 The CDC queries derive a change stream from the ``events`` table:
 key = url built from user_id, event time = ts, total order tie-break =
@@ -585,14 +587,87 @@ def _ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rhp_ann_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5, n_queries=10)
 
 
-def _extract_pages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generated html change events through the Arrow extraction stage
-    (engine-internal hashes — rows-only check)."""
-    from geomesa_nifi_spark.functions.extract import extract_pages
-    from geomesa_nifi_spark.sources.changegen import change_stream
+# DuckDB regenerates the md5-derived ±1 hyperplanes, buckets the corpus the
+# same way, and ranks exact cosine within shared buckets — a full oracle of
+# the approximate path (identical candidates => identical output).
+_ANN_RHP_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+sig AS (
+  SELECT vec_id, embedding,
+    list_sum([
+      CASE WHEN list_sum([
+        embedding[i+1]::double *
+        (CASE WHEN (strpos('0123456789abcdef', substr(md5('13:' || p || ':' || i), 1, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END)
+        FOR i IN range(0,64)]) > 0
+      THEN (1::bigint << p) ELSE 0 END
+      FOR p IN range(0,8)])::bigint AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig WHERE vec_id < 10),
+cands AS (
+  SELECT q.query_id, s.vec_id, q.qe, s.embedding
+  FROM q JOIN sig s USING (bucket) WHERE s.vec_id <> q.query_id
+),
+dots AS (
+  SELECT query_id, vec_id,
+         round(
+           list_sum([qe[i]::double * embedding[i]::double FOR i IN range(1,65)])
+           / (sqrt(list_sum([qe[i]::double * qe[i]::double FOR i IN range(1,65)]))
+              * sqrt(list_sum([embedding[i]::double * embedding[i]::double FOR i IN range(1,65)]))),
+           4) AS sim
+  FROM cands
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM dots
+)
+SELECT query_id, vec_id, sim, rank::int AS rank FROM ranked WHERE rank <= 5
+"""
 
-    pages = change_stream(spark, 2000, n_keys=400, seed=42).filter(F.col("op") != "delete")
-    return extract_pages(pages).select("url", "warc_ts", "text", "lang", "offset")
+
+_HTML_PREFIX = (
+    "<html><head><script>var x = 1;</script><title>skip</title></head>"
+    "<body><h1>Crawl &amp; Index</h1><p>the cat and the dog went to the "
+)
+_HTML_SUFFIX = " house</p><!-- hidden --></body></html>"
+_EXTRACTED_PREFIX = "Crawl & Index the cat and the dog went to the "
+
+
+def _extract_pages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Html change events through the Arrow extraction UDF stage.
+
+    Pages are synthesized from the events table with known tag structure
+    (head/script to drop, entity to unescape, comment to strip), so DuckDB
+    can state the exact expected text/lang — a full oracle over the pandas
+    UDF path, not a rows-only check."""
+    from geomesa_nifi_spark.functions.extract import extract_pages
+
+    ch = _changes(spark, sf_dir).filter(F.col("op") != "delete")
+    pages = ch.withColumn(
+        "html",
+        F.encode(
+            F.concat(F.lit(_HTML_PREFIX), F.col("event_type"), F.lit(_HTML_SUFFIX)),
+            "UTF-8",
+        ),
+    )
+    return extract_pages(pages).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "text",
+        "lang",
+    )
+
+
+_EXTRACT_PAGES_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE})
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset,
+       '{_EXTRACTED_PREFIX}' || event_type || ' house' AS text,
+       'en' AS lang
+FROM ch WHERE op <> 'delete'
+"""
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,8 +783,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "corpus_curation": _CORPUS_CURATION_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
+        "ann_rhp_topk": _ANN_RHP_SQL,
         "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
-        # no oracle (engine-internal hashing / LSH approximation / UDF stage):
-        # doc_simhash, ann_rhp_topk, extract_pages_cdc
+        "extract_pages_cdc": _EXTRACT_PAGES_SQL,
     }

@@ -134,7 +134,7 @@ def merge_changes(
             raise ValueError("merge-on-read supports full-row upserts only")
         return _merge_mor(
             table, src, base, rec, final_schema, batch_id, op_col,
-            lineage, max_records_per_file, auto_compact,
+            lineage, max_records_per_file, auto_compact, collect_metrics,
         )
 
     # The deduped source feeds two consumers (bucket discovery + the join);
@@ -158,7 +158,7 @@ def merge_changes(
 
 def _merge_mor(
     table, src, base, rec, final_schema, batch_id, op_col,
-    lineage, max_records_per_file, auto_compact,
+    lineage, max_records_per_file, auto_compact, collect_metrics=True,
 ) -> MergeResult:
     """Append the deduped batch as delta files — no target read."""
     types = {f.name: f.dataType for f in final_schema.fields}
@@ -170,6 +170,17 @@ def _merge_mor(
         (F.col(op_col) == OP_DELETE).alias(DELETED_COL),
         F.col(BUCKET_COL),
     )
+    obs = None
+    if collect_metrics:
+        # per-batch op accounting without a second pass: observed on the
+        # delta write itself (upserted/tombstoned per batch, ≙ the CoW
+        # merge's inserted/updated/deleted counters)
+        obs = Observation(f"mor-{base.version + 1}")
+        out = out.observe(
+            obs,
+            F.sum(F.when(F.col(DELETED_COL), 1).otherwise(0)).alias("tombstoned"),
+            F.sum(F.when(~F.col(DELETED_COL), 1).otherwise(0)).alias("upserted"),
+        )
     new_files = table.write_files(
         out, base.version + 1, max_records_per_file, kind="delta"
     )
@@ -218,6 +229,13 @@ def _merge_mor(
     if snap is None:
         raise CommitConflict("merge_mor: lost the commit race 10 times")
     metrics = {"delta_rows": sum(f.rows for f in new_files)}
+    if obs is not None:
+        try:
+            metrics.update({k: int(v or 0) for k, v in obs.get.items()})
+        except Exception:
+            # empty write: AQE collapses to an empty relation and the
+            # CollectMetrics row never materializes (same guard as CoW)
+            metrics["metrics_unavailable_empty_write"] = 1
     if auto_compact:
         threshold = int(snap.properties.get("mor.compact.deltas", "8"))
         stats = table.delta_stats(snap)

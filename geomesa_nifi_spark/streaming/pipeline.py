@@ -131,7 +131,7 @@ def run_file_replay(
                 compat_mode=compat_mode,
                 dedup_strategy=dedup_strategy,
                 lineage=lineage,
-                collect_metrics=collect_metrics and write_mode != "mor",
+                collect_metrics=collect_metrics,
                 mode="mor" if write_mode == "mor" else "cow",
             )
         rows = sum(r["rows"] for r in offset_ranges) if offset_ranges else 0

@@ -132,3 +132,31 @@ def test_compact_drop_tombstones(spark, tmp_path):
                   batch_id="2", mode="mor", auto_compact=False)
     compact(t, drop_tombstones=True)
     assert t.scan(include_tombstones=True).count() == 0  # fully cleaned
+
+
+def test_mor_batch_metrics(spark, tmp_path):
+    """MoR merges report per-batch op accounting (observed on the delta
+    write), not just delta_rows."""
+    import datetime as dt
+
+    from pyspark.sql import Row, types as T
+
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+    ])
+    change = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, key_col="url",
+                         ts_col="warc_ts", tiebreak_col="offset", num_buckets=4)
+    rows = [
+        Row(url="a", warc_ts=dt.datetime(2024, 1, 1, 0, 0, 1), offset=1, op="upsert"),
+        Row(url="b", warc_ts=dt.datetime(2024, 1, 1, 0, 0, 2), offset=2, op="upsert"),
+        Row(url="c", warc_ts=dt.datetime(2024, 1, 1, 0, 0, 3), offset=3, op="delete"),
+    ]
+    r = merge_changes(t, spark.createDataFrame(rows, change), batch_id="m1", mode="mor")
+    assert r.metrics["upserted"] == 2
+    assert r.metrics["tombstoned"] == 1
+    assert r.metrics["delta_rows"] == 3
