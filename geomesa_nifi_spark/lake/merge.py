@@ -147,11 +147,23 @@ def merge_changes(
         )  # <= num_buckets rows: trivially driver-safe at any scale
         if not touched:
             return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
-        return _merge_prepared(
-            table, src, touched, base, rec, final_schema, batch_id, op_col,
-            ts_col, tiebreak, update_mode, lineage, collect_metrics,
-            max_records_per_file,
-        )
+        for attempt in range(5):
+            try:
+                return _merge_prepared(
+                    table, src, touched, base, rec, final_schema, batch_id, op_col,
+                    ts_col, tiebreak, update_mode, lineage, collect_metrics,
+                    max_records_per_file,
+                )
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                # a concurrent commit rewrote one of OUR buckets: the join we
+                # executed is stale — redo the whole merge against the new
+                # snapshot (the persisted source makes the redo cheap; the
+                # orphaned first-attempt files are vacuum's job, exactly like
+                # any failed commit)
+                base = table.snapshot()
+        raise AssertionError("unreachable")
     finally:
         src.unpersist()
 
@@ -237,9 +249,18 @@ def _merge_mor(
             # CollectMetrics row never materializes (same guard as CoW)
             metrics["metrics_unavailable_empty_write"] = 1
     if auto_compact:
+        # compaction is due on file-count (read amplification) OR delta-row
+        # volume (resolution cost) — whichever a bucket crosses first;
+        # mor.compact.delta-rows=0 disables the size trigger
         threshold = int(snap.properties.get("mor.compact.deltas", "8"))
+        row_threshold = int(snap.properties.get("mor.compact.delta-rows", "0"))
         stats = table.delta_stats(snap)
-        due = sorted(b for b, s in stats.items() if s["delta_files"] >= threshold)
+        due = sorted(
+            b
+            for b, s in stats.items()
+            if s["delta_files"] >= threshold
+            or (row_threshold and s["delta_rows"] >= row_threshold)
+        )
         if due:
             csnap = compact(table, buckets=due, max_records_per_file=max_records_per_file)
             metrics["compacted_buckets"] = len(due)

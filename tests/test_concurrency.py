@@ -67,17 +67,20 @@ def test_mor_commit_rebases_past_concurrent_writer(spark, tmp_path, monkeypatch)
     assert st == {"other", "mine"}  # both writers' rows landed
 
 
-def test_cow_conflict_same_bucket_raises(spark, tmp_path, monkeypatch):
+def test_cow_conflict_same_bucket_redoes_merge(spark, tmp_path, monkeypatch):
+    """A concurrent rewrite of OUR bucket invalidates the executed join; the
+    merge must transparently redo against the new snapshot (not silently
+    commit a stale result, not surface an error to the caller)."""
     t = make(spark, tmp_path)
     merge_changes(t, spark.createDataFrame([ev("k", 1, "v1")], CHANGE), batch_id="seed")
     # intruder updates the SAME key (same bucket) between write and commit
     _inject_commit_between(monkeypatch, t, spark, [ev("k", 50, "intruder")])
-    with pytest.raises(CommitConflict):
-        merge_changes(t, spark.createDataFrame([ev("k", 10, "mine")], CHANGE),
+    r = merge_changes(t, spark.createDataFrame([ev("k", 10, "mine")], CHANGE),
                       batch_id="me", mode="cow")
-    # retrying the failed merge against the new state succeeds and LWW holds
-    monkeypatch.undo()
-    merge_changes(t, spark.createDataFrame([ev("k", 10, "mine")], CHANGE),
-                  batch_id="me-retry", mode="cow")
+    assert not r.skipped
+    bids = [s.summary.get("batch_id") for s in t.history()]
+    assert "intruder" in bids and "me" in bids
     final = {x.url: x.text for x in t.scan().collect()}
-    assert final == {"k": "intruder"}  # offset 50 beats 10
+    assert final == {"k": "intruder"}  # offset 50 beats 10 after the redo
+    # the abandoned first-attempt files are unreferenced -> vacuum removes them
+    assert t.vacuum()

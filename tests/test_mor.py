@@ -160,3 +160,37 @@ def test_mor_batch_metrics(spark, tmp_path):
     assert r.metrics["upserted"] == 2
     assert r.metrics["tombstoned"] == 1
     assert r.metrics["delta_rows"] == 3
+
+
+def test_mor_size_based_compaction(spark, tmp_path):
+    """mor.compact.delta-rows triggers compaction by delta volume even when
+    the file-count threshold is far away."""
+    import datetime as dt
+
+    from pyspark.sql import Row, types as T
+
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+    ])
+    change = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_col="url",
+        ts_col="warc_ts", tiebreak_col="offset", num_buckets=1,
+        properties={"mor.compact.deltas": "100", "mor.compact.delta-rows": "5"},
+    )
+
+    def batch(i, n):
+        rows = [Row(url=f"k{j}", warc_ts=dt.datetime(2024, 1, 1, 0, 0, i), offset=i, op="upsert")
+                for j in range(n)]
+        return spark.createDataFrame(rows, change)
+
+    merge_changes(t, batch(1, 3), batch_id="1", mode="mor")
+    assert "compact" not in {s.summary["operation"] for s in t.history()}
+    r = merge_changes(t, batch(2, 3), batch_id="2", mode="mor")  # 6 rows >= 5
+    assert r.metrics.get("compacted_buckets") == 1
+    assert "compact" in {s.summary["operation"] for s in t.history()}
+    assert t.scan().count() == 3  # resolved state intact
