@@ -57,8 +57,17 @@ def _normalize_session(spark: SparkSession) -> SparkSession:
     parquet ``timestamp[us]`` infers as TIMESTAMP_NTZ and the session time
     zone is whatever the host has.  Pinning UTC makes the NTZ->LTZ cast at
     the derivation boundary a bit-identical reinterpretation, so
-    ``unix_micros`` equals DuckDB's ``epoch_us`` regardless of session."""
+    ``unix_micros`` equals DuckDB's ``epoch_us`` regardless of session.
+
+    Also right-sizes runtime-settable perf knobs for the gate's scale: the
+    default 200 shuffle partitions turn every tiny-sf merge/join into 200
+    near-empty tasks, which multiplies per-job scheduling latency ~6x on
+    the replay queries (each runs a dozen shuffles)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    par = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 16)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     return spark
 
 
@@ -119,10 +128,23 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _replay_table(spark: SparkSession, sf_dir: str, batch_order, mode: str = "cow"):
+_REPLAY_CACHE: dict[tuple, object] = {}
+
+
+def _replay_table(spark: SparkSession, sf_dir: str, batch_order, mode: str = "cow", cache: bool = True):
     """Replay the events change stream through a real lake table (MERGE per
-    batch, batches = event_id mod 4, applied in ``batch_order``)."""
+    batch, batches = event_id mod 4, applied in ``batch_order``).
+
+    Cached per (sf_dir, order, mode) within the process: several gate
+    queries interrogate the same replayed table (final state, time travel,
+    changelog), and the replay is deterministic, so recomputing it per
+    query would only burn gate time."""
     from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    cache_key = (sf_dir, tuple(batch_order), mode)
+    cached = _REPLAY_CACHE.get(cache_key) if cache else None
+    if cached is not None:
+        return cached
 
     ch = _changes(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="gns_entry_") + "/pages"
@@ -138,6 +160,8 @@ def _replay_table(spark: SparkSession, sf_dir: str, batch_order, mode: str = "co
     for b in batch_order:
         batch = ch.filter(F.pmod(F.col("src_offset"), F.lit(len(batch_order))) == b)
         merge_changes(table, batch, batch_id=f"entry-{b}", mode=mode)
+    if cache:
+        _REPLAY_CACHE[cache_key] = table
     return table
 
 
@@ -177,7 +201,9 @@ def _fid_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the LWW oracle with the same rename applied."""
     from geomesa_nifi_spark.lake import rewrite_fids
 
-    table = _replay_table(spark, sf_dir, [0, 1, 2, 3])
+    # cache=False: this query mutates its table — it must not poison the
+    # replay shared by the final-state/time-travel/changelog queries
+    table = _replay_table(spark, sf_dir, [0, 1, 2, 3], cache=False)
     ch = _changes(spark, sf_dir)
     mapping = (
         ch.select("url").distinct()
@@ -240,6 +266,229 @@ SELECT url, epoch_us(warc_ts) AS warc_us, src_offset,
        CASE WHEN src_offset % 4 >= 2 THEN event_type END AS event_type,
        CASE WHEN src_offset % 4 >= 2 THEN value END AS value
 FROM lww WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel: the state AS OF the commit that
+    applied batch 1 equals replaying only batches 0-1 (monotonic snapshot
+    ids, north rule; ≙ Iceberg ``VERSION AS OF``)."""
+    table = _replay_table(spark, sf_dir, [0, 1, 2, 3])
+    # version = the commit whose summary says batch_id entry-1 (robust to
+    # any extra maintenance commits)
+    version = next(
+        s.version for s in table.history() if s.summary.get("batch_id") == "entry-1"
+    )
+    return table.scan(version=version).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
+_TIME_TRAVEL_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+sub AS (SELECT * FROM ch WHERE src_offset % 4 < 2),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM sub
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key lookup on the live table (ModifyWriter read path as a
+    bucket+rowgroup-pruned scan, ``FeatureWriters.scala:126-147``)."""
+    table = _replay_table(spark, sf_dir, [0, 1, 2, 3])
+    keys = [f"https://u.example.org/{i}" for i in range(0, 60, 3)]
+    return table.lookup(keys).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
+_POINT_LOOKUP_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww
+WHERE rn = 1 AND op <> 'delete'
+  AND regexp_extract(url, '(\\d+)$', 1)::int % 3 = 0
+  AND regexp_extract(url, '(\\d+)$', 1)::int < 60
+"""
+
+
+def _update_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UpdateGeoMesaRecord`` semantics on a live table: partial-column
+    update (only provided columns overwrite), NO insert fallback — the
+    unmatched key is rejected, not inserted
+    (``UpdateGeoMesaRecord.scala:52-230``)."""
+    from geomesa_nifi_spark.lake import merge_changes
+
+    table = _replay_table(spark, sf_dir, [0, 1, 2, 3], cache=False)
+    upd_ts = F.lit("2100-01-01 00:00:00").cast("timestamp")
+    updates = (
+        table.scan()
+        .filter(F.regexp_extract("url", r"(\d+)$", 1).cast("int") % 5 == 0)
+        .select(
+            "url",
+            upd_ts.alias("warc_ts"),
+            F.lit(0).cast("long").alias("src_offset"),
+            F.lit(-1.0).alias("value"),
+        )
+    )
+    missing = spark.createDataFrame(
+        [("https://u.example.org/999999999",)], "url string"
+    ).select(
+        "url", upd_ts.alias("warc_ts"), F.lit(0).cast("long").alias("src_offset"),
+        F.lit(-1.0).alias("value"),
+    )
+    merge_changes(
+        table,
+        updates.unionByName(missing),
+        batch_id="entry-partial",
+        update_mode="partial",
+    )
+    return _final_state(table)
+
+
+_UPDATE_PARTIAL_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url,
+       CASE WHEN regexp_extract(url, '(\\d+)$', 1)::int % 5 = 0
+            THEN epoch_us(TIMESTAMP '2100-01-01') ELSE epoch_us(warc_ts) END AS warc_us,
+       CASE WHEN regexp_extract(url, '(\\d+)$', 1)::int % 5 = 0
+            THEN 0 ELSE src_offset END AS src_offset,
+       event_type,
+       CASE WHEN regexp_extract(url, '(\\d+)$', 1)::int % 5 = 0
+            THEN -1.0 ELSE value END AS value
+FROM lww WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog egress (store -> records, ``GetGeoMesaKafkaRecord``): the
+    change events of exactly one committed batch, read back from the lake's
+    merge-on-read delta files."""
+    from geomesa_nifi_spark.streaming.changes import table_changes
+
+    table = _replay_table(spark, sf_dir, [1, 3, 0, 2], mode="mor")
+    snap = next(
+        s for s in table.history() if s.summary.get("batch_id") == "entry-2"
+    )
+    out = table_changes(table, from_version=snap.parent_version, to_version=snap.version)
+    return out.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+_CHANGELOG_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+sub AS (SELECT * FROM ch WHERE src_offset % 4 = 2),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM sub
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value,
+       CASE WHEN op = 'delete' THEN 'delete' ELSE 'insert_or_update' END AS change_type
+FROM lww WHERE rn = 1
+"""
+
+
+def _visibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level visibility (Accumulo-style expressions, converter option
+    ``visibilities-col``): LWW state filtered to the caller's auth set
+    {user, ops} — label evaluation is driver-side over distinct strings,
+    the row filter is a pushdown-able isin."""
+    from geomesa_nifi_spark.operators.dedup import lww_dedup
+    from geomesa_nifi_spark.operators.visibility import filter_by_auths
+
+    ch = _changes(spark, sf_dir).withColumn(
+        "vis",
+        F.when(F.col("src_offset") % 3 == 0, "admin")
+        .when(F.col("src_offset") % 3 == 1, "user")
+        .otherwise("(user|admin)&ops"),
+    )
+    state = lww_dedup(ch, "url", ["warc_ts", "src_offset"]).filter(F.col("op") != "delete")
+    return filter_by_auths(state, {"user", "ops"}).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+        "vis",
+    )
+
+
+_VISIBILITY_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+v AS (
+  SELECT *, CASE WHEN src_offset % 3 = 0 THEN 'admin'
+                 WHEN src_offset % 3 = 1 THEN 'user'
+                 ELSE '(user|admin)&ops' END AS vis
+  FROM ch
+),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM v
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value, vis
+FROM lww
+WHERE rn = 1 AND op <> 'delete' AND vis IN ('user', '(user|admin)&ops')
+"""
+
+
+def _avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoAvro interchange: events -> Avro object-container files (pure
+    binary-spec writer, one file per partition) -> self-describing read-back
+    (schema recovered from the file header, no caller schema) — values must
+    survive byte-exactly (≙ AvroToPutGeoMesa ingest +
+    GeoAvroRecordSetWriterFactory egress)."""
+    from geomesa_nifi_spark.functions.avro import read_avro, write_avro
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    out = tempfile.mkdtemp(prefix="gns_avro_") + "/files"
+    write_avro(ev.repartition(4), out)
+    back = read_avro(spark, out)
+    return back.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        "k",
+    )
+
+
+_AVRO_ROUNDTRIP_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+       round(value, 4) AS value,
+       json_extract_string(props, '$.k')::int AS k
+FROM events
 """
 
 
@@ -736,12 +985,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fid_rewrite": _fid_rewrite,
         "cdc_schema_evolution": _schema_evolution_replay,
         "cdc_ingest_counts": _ingest_counts,
+        "cdc_time_travel": _time_travel,
+        "cdc_point_lookup": _point_lookup,
+        "cdc_update_partial": _update_partial,
+        "cdc_changelog": _changelog_read,
+        "cdc_visibility": _visibility_filter,
         "events_windowed_activity": _events_windowed_activity,
         # conversion layer (SURVEY §2.2)
         "convert_json_props": _convert_json_props,
         "convert_xml_records": _convert_xml_records,
         "convert_typed_props": _convert_typed_props,
         "extract_pages_cdc": _extract_pages_cdc,
+        "avro_roundtrip": _avro_roundtrip,
         # training-data pipeline ops
         "doc_text_stats": _doc_text_stats,
         "doc_exact_dups": _doc_exact_dups,
@@ -768,6 +1023,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fid_rewrite": _FID_REWRITE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,
+        "cdc_time_travel": _TIME_TRAVEL_SQL,
+        "cdc_point_lookup": _POINT_LOOKUP_SQL,
+        "cdc_update_partial": _UPDATE_PARTIAL_SQL,
+        "cdc_changelog": _CHANGELOG_SQL,
+        "cdc_visibility": _VISIBILITY_SQL,
+        "avro_roundtrip": _AVRO_ROUNDTRIP_SQL,
         "events_windowed_activity": _WINDOWED_SQL,
         "convert_json_props": _CONVERT_JSON_SQL,
         "convert_xml_records": _CONVERT_XML_SQL,

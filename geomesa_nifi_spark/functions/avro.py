@@ -1,0 +1,609 @@
+"""Avro object-container files: a dependency-free reader/writer.
+
+Closes the two SURVEY.md §2 rows that round 1 left open for want of a
+runtime jar / Python avro lib:
+
+* ``AvroToPutGeoMesa`` (reference: ingest GeoAvro files,
+  ``geomesa-datastore-bundle/.../AvroToPutGeoMesa.scala:33-90``) —
+  ``read_avro`` turns a directory of container files into a DataFrame whose
+  schema is recovered from the files themselves; feeding that into
+  ``merge_changes``/``append_only`` reproduces the processor (including the
+  schema-adapter behavior: by-name writes, missing columns null-padded).
+* ``GeoAvroRecordSetWriterFactory`` (reference: write features as Avro with
+  the schema embedded, ``records/GeoAvroRecordSetWriterFactory.scala:27-87``)
+  — ``write_avro`` / ``write_avro_file`` emit standard container files any
+  Avro implementation can read.
+
+The codec implements the public Avro 1.11 spec (binary encoding + object
+container framing): zig-zag varint ints/longs, little-endian IEEE floats,
+length-prefixed bytes/strings, index-prefixed unions, block-framed
+arrays/maps, ``null``/``deflate`` codecs (deflate = raw RFC-1951, zlib
+wbits=-15), and the timestamp-micros / local-timestamp-micros / date
+logical types.
+
+Scale shape: encoding/decoding is per-row Python — matching the
+reference's row-at-a-time Avro path — but it is *distributed*: the reader
+fans one task per container file (``binaryFile`` source -> ``mapInArrow``)
+and the writer emits one file per partition, so throughput scales with
+executors.  Avro here is an interchange format; the CDC hot path stays on
+parquet + JVM expressions.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_DEFAULT_BLOCK_ROWS = 4096
+
+# ---------------------------------------------------------------------------
+# schema mapping (Spark StructType <-> Avro record schema)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES: dict[type, Any] = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "record") -> dict:
+    """Spark StructType -> Avro record schema; every field nullable
+    (``["null", T]``), matching the reference's GeoAvro output where any
+    attribute may be unset."""
+
+    def field_type(dt: T.DataType, path: str) -> Any:
+        for cls, avro in _PRIMITIVES.items():
+            if isinstance(dt, cls):
+                return avro
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": nullable(dt.elementType, path + ".item")}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError(f"avro maps require string keys at {path}")
+            return {"type": "map", "values": nullable(dt.valueType, path + ".value")}
+        if isinstance(dt, T.StructType):
+            return record_of(dt, path.replace(".", "_"))
+        raise ValueError(f"unsupported Spark type for avro at {path}: {dt}")
+
+    def nullable(dt: T.DataType, path: str) -> list:
+        return ["null", field_type(dt, path)]
+
+    def record_of(st: T.StructType, rec_name: str) -> dict:
+        return {
+            "type": "record",
+            "name": rec_name,
+            "fields": [
+                {"name": f.name, "type": nullable(f.dataType, f"{rec_name}.{f.name}"), "default": None}
+                for f in st.fields
+            ],
+        }
+
+    return record_of(schema, name)
+
+
+def avro_to_spark_schema(avro: dict) -> T.StructType:
+    """Avro record schema -> Spark StructType (inverse of the above,
+    accepting any spec-conformant nullable-union layout)."""
+
+    def of(t: Any) -> T.DataType:
+        if isinstance(t, list):  # union: strip null, require a single branch
+            branches = [b for b in t if b != "null"]
+            if len(branches) != 1:
+                raise ValueError(f"unsupported avro union {t}")
+            return of(branches[0])
+        if isinstance(t, dict):
+            lt = t.get("logicalType")
+            if lt == "timestamp-micros" or lt == "timestamp-millis":
+                return T.TimestampType()
+            if lt == "local-timestamp-micros" or lt == "local-timestamp-millis":
+                return T.TimestampNTZType()
+            if lt == "date":
+                return T.DateType()
+            kind = t["type"]
+            if kind == "array":
+                return T.ArrayType(of(t["items"]))
+            if kind == "map":
+                return T.MapType(T.StringType(), of(t["values"]))
+            if kind == "record":
+                return T.StructType(
+                    [T.StructField(f["name"], of(f["type"]), True) for f in t["fields"]]
+                )
+            return of(kind)
+        prim = {
+            "string": T.StringType(),
+            "long": T.LongType(),
+            "int": T.IntegerType(),
+            "double": T.DoubleType(),
+            "float": T.FloatType(),
+            "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(),
+        }
+        if t in prim:
+            return prim[t]
+        raise ValueError(f"unsupported avro type {t!r}")
+
+    if avro.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    return T.StructType([T.StructField(f["name"], of(f["type"]), True) for f in avro["fields"]])
+
+
+# ---------------------------------------------------------------------------
+# binary encoding
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(buf: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def bytes_(self) -> bytes:
+        n = self.long()
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def fixed(self, n: int) -> bytes:
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+def _make_encoder(dt: T.DataType):
+    """Closure-per-type value encoder (built once per schema, not per row)."""
+    import datetime
+
+    if isinstance(dt, (T.StringType,)):
+        def enc(buf, v):
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            _zigzag_encode(buf, len(b))
+            buf.extend(b)
+    elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        def enc(buf, v):
+            _zigzag_encode(buf, int(v))
+    elif isinstance(dt, T.DoubleType):
+        def enc(buf, v):
+            buf.extend(struct.pack("<d", float(v)))
+    elif isinstance(dt, T.FloatType):
+        def enc(buf, v):
+            buf.extend(struct.pack("<f", float(v)))
+    elif isinstance(dt, T.BooleanType):
+        def enc(buf, v):
+            buf.append(1 if v else 0)
+    elif isinstance(dt, T.BinaryType):
+        def enc(buf, v):
+            b = bytes(v)
+            _zigzag_encode(buf, len(b))
+            buf.extend(b)
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        epoch = datetime.datetime(1970, 1, 1)
+        epoch_utc = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+        def enc(buf, v):
+            if v.tzinfo is None:
+                delta = v - epoch
+            else:
+                delta = v - epoch_utc
+            micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+            _zigzag_encode(buf, micros)
+    elif isinstance(dt, T.DateType):
+        epoch_d = datetime.date(1970, 1, 1)
+
+        def enc(buf, v):
+            _zigzag_encode(buf, (v - epoch_d).days)
+    elif isinstance(dt, T.ArrayType):
+        item = _make_nullable_encoder(dt.elementType)
+
+        def enc(buf, v):
+            items = list(v)
+            if items:
+                _zigzag_encode(buf, len(items))
+                for x in items:
+                    item(buf, x)
+            buf.append(0)  # end of blocks
+    elif isinstance(dt, T.MapType):
+        val = _make_nullable_encoder(dt.valueType)
+
+        def enc(buf, v):
+            # dicts from Row paths, [(k, v), ...] from Arrow's to_pylist
+            entries = list(v.items()) if hasattr(v, "items") else list(v)
+            if entries:
+                _zigzag_encode(buf, len(entries))
+                for k, x in entries:
+                    kb = k.encode("utf-8")
+                    _zigzag_encode(buf, len(kb))
+                    buf.extend(kb)
+                    val(buf, x)
+            buf.append(0)
+    elif isinstance(dt, T.StructType):
+        subs = [(f.name, _make_nullable_encoder(f.dataType)) for f in dt.fields]
+
+        def enc(buf, v):
+            for name, sub in subs:
+                sub(buf, v.get(name) if isinstance(v, dict) else getattr(v, name))
+    else:
+        raise ValueError(f"unsupported type {dt}")
+    return enc
+
+
+def _make_nullable_encoder(dt: T.DataType):
+    inner = _make_encoder(dt)
+
+    def enc(buf, v):
+        # union index 0 = null (zigzag(0) == 0), index 1 = value (zigzag(1)
+        # == 2).  NaN-as-missing can arrive via pandas; `v != v` raises for
+        # arrays, so the check is guarded.
+        if v is None:
+            buf.append(0)
+            return
+        try:
+            missing = bool(v != v)
+        except (TypeError, ValueError):
+            missing = False
+        if missing:
+            buf.append(0)
+        else:
+            buf.append(2)
+            inner(buf, v)
+
+    return enc
+
+
+def _make_decoder(dt: T.DataType):
+    import datetime
+
+    if isinstance(dt, T.StringType):
+        def dec(r: _Reader):
+            return r.bytes_().decode("utf-8")
+    elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        def dec(r):
+            return r.long()
+    elif isinstance(dt, T.DoubleType):
+        def dec(r):
+            return struct.unpack("<d", r.fixed(8))[0]
+    elif isinstance(dt, T.FloatType):
+        def dec(r):
+            return struct.unpack("<f", r.fixed(4))[0]
+    elif isinstance(dt, T.BooleanType):
+        def dec(r):
+            return r.fixed(1) == b"\x01"
+    elif isinstance(dt, T.BinaryType):
+        def dec(r):
+            return r.bytes_()
+    elif isinstance(dt, T.TimestampType):
+        epoch_utc = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+        def dec(r):
+            # absolute instant: decode tz-aware so the Arrow/Spark boundary
+            # does not reinterpret it in the session time zone
+            return epoch_utc + datetime.timedelta(microseconds=r.long())
+    elif isinstance(dt, T.TimestampNTZType):
+        epoch = datetime.datetime(1970, 1, 1)
+
+        def dec(r):
+            return epoch + datetime.timedelta(microseconds=r.long())
+    elif isinstance(dt, T.DateType):
+        epoch_d = datetime.date(1970, 1, 1)
+
+        def dec(r):
+            return epoch_d + datetime.timedelta(days=r.long())
+    elif isinstance(dt, T.ArrayType):
+        item = _make_nullable_decoder(dt.elementType)
+
+        def dec(r):
+            out = []
+            while True:
+                n = r.long()
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte size prefix (spec-allowed)
+                    r.long()
+                    n = -n
+                for _ in range(n):
+                    out.append(item(r))
+    elif isinstance(dt, T.MapType):
+        val = _make_nullable_decoder(dt.valueType)
+
+        def dec(r):
+            out = {}
+            while True:
+                n = r.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    r.long()
+                    n = -n
+                for _ in range(n):
+                    k = r.bytes_().decode("utf-8")
+                    out[k] = val(r)
+    elif isinstance(dt, T.StructType):
+        subs = [(f.name, _make_nullable_decoder(f.dataType)) for f in dt.fields]
+
+        def dec(r):
+            return {name: sub(r) for name, sub in subs}
+    else:
+        raise ValueError(f"unsupported type {dt}")
+    return dec
+
+
+def _make_nullable_decoder(dt: T.DataType):
+    inner = _make_decoder(dt)
+
+    def dec(r: _Reader):
+        if r.long() == 0:
+            return None
+        return inner(r)
+
+    return dec
+
+
+# ---------------------------------------------------------------------------
+# container framing
+# ---------------------------------------------------------------------------
+
+
+def _encode_container(
+    schema: T.StructType,
+    rows: Iterable[dict],
+    codec: str = "deflate",
+    block_rows: int = _DEFAULT_BLOCK_ROWS,
+    sync: bytes | None = None,
+) -> bytes:
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    avro_schema = spark_to_avro_schema(schema)
+    encoders = [(f.name, _make_nullable_encoder(f.dataType)) for f in schema.fields]
+    sync = sync or uuid.uuid4().bytes
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    head = bytearray()
+    _zigzag_encode(head, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _zigzag_encode(head, len(kb))
+        head.extend(kb)
+        _zigzag_encode(head, len(v))
+        head.extend(v)
+    head.append(0)
+    out.write(bytes(head))
+    out.write(sync)
+
+    block = bytearray()
+    n_in_block = 0
+
+    def flush():
+        nonlocal block, n_in_block
+        if not n_in_block:
+            return
+        data = bytes(block)
+        if codec == "deflate":
+            data = zlib.compress(data, 6)[2:-4]  # raw RFC-1951 (strip zlib wrapper)
+        frame = bytearray()
+        _zigzag_encode(frame, n_in_block)
+        _zigzag_encode(frame, len(data))
+        out.write(bytes(frame))
+        out.write(data)
+        out.write(sync)
+        block = bytearray()
+        n_in_block = 0
+
+    for row in rows:
+        for name, enc in encoders:
+            enc(block, row.get(name))
+        n_in_block += 1
+        if n_in_block >= block_rows:
+            flush()
+    flush()
+    return out.getvalue()
+
+
+def _decode_container(data: bytes) -> tuple[T.StructType, list[dict]]:
+    schema, reader, blocks = _open_container(data)
+    decoders = [(f.name, _make_nullable_decoder(f.dataType)) for f in schema.fields]
+    rows: list[dict] = []
+    for count, payload in blocks:
+        r = _Reader(payload)
+        for _ in range(count):
+            rows.append({name: dec(r) for name, dec in decoders})
+    return schema, rows
+
+
+def _open_container(data: bytes):
+    """Parse header; return (spark_schema, reader, iterator of (count, raw block))."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    r = _Reader(data)
+    r.pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            r.long()
+            n = -n
+        for _ in range(n):
+            k = r.bytes_().decode()
+            meta[k] = r.bytes_()
+    codec = meta.get("avro.codec", b"null").decode()
+    avro_schema = json.loads(meta["avro.schema"])
+    schema = avro_to_spark_schema(avro_schema)
+    sync = r.fixed(SYNC_SIZE)
+
+    def blocks():
+        while r.pos < len(data):
+            count = r.long()
+            size = r.long()
+            payload = r.fixed(size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            elif codec != "null":
+                raise ValueError(f"unsupported avro codec {codec!r}")
+            if r.fixed(SYNC_SIZE) != sync:
+                raise ValueError("sync marker mismatch (corrupt container)")
+            yield count, payload
+
+    return schema, r, blocks()
+
+
+def read_avro_schema(path: str) -> T.StructType:
+    """Read just the embedded schema (header-only driver read)."""
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)  # header is metadata-sized; 1 MB is generous
+    schema, _r, _b = _open_container(head)
+    return schema
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level API
+# ---------------------------------------------------------------------------
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    block_rows: int = _DEFAULT_BLOCK_ROWS,
+) -> int:
+    """Distributed write: one container file per partition under ``path``.
+
+    Returns the number of files written.  Executors write to the shared
+    table filesystem exactly like the parquet sinks."""
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+
+    def write_partition(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        rows: list[dict] = []
+        for batch in batches:
+            rows.extend(batch.to_pylist())
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        if not rows:
+            return
+        data = _encode_container(schema, rows, codec=codec, block_rows=block_rows)
+        out = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
+        tmp = out + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.rename(tmp, out)
+        yield pa.RecordBatch.from_pylist(
+            [{"path": out, "rows": len(rows)}],
+            schema=pa.schema([("path", pa.string()), ("rows", pa.int64())]),
+        )
+
+    written = df.mapInArrow(write_partition, "path string, rows long").collect()
+    return sum(1 for r in written if r.path is not None)
+
+
+def write_avro_file(
+    df: DataFrame,
+    path: str,
+    order_by: list[str] | None = None,
+    codec: str = "deflate",
+) -> str:
+    """Single exact file with deterministic bytes (the ``ConvertToGeoFile``
+    avro output shape, ``ConvertToGeoFile.scala:197-212``): rows ordered,
+    fixed sync marker derived from the schema, driver-side collect — for
+    FlowFile-sized exports, not bulk data."""
+    if order_by:
+        df = df.orderBy(*order_by)
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    import hashlib
+
+    sync = hashlib.md5(df.schema.json().encode()).digest()
+    data = _encode_container(df.schema, rows, codec=codec, sync=sync)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return path
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read a container file / directory of them into a DataFrame.
+
+    The schema comes from the first file's embedded header (self-describing,
+    like the reference's GeoAvro ingest — no caller schema needed); files
+    whose schema differs by-name-compatibly are null-padded per field name,
+    exactly the ``AvroToPutGeoMesa`` schema-adapter contract
+    (``AvroToPutGeoMesa.scala:60-78``).  One task per file."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, n) for n in os.listdir(path) if n.endswith(".avro")
+        )
+        if not files:
+            raise FileNotFoundError(f"no .avro files under {path}")
+    else:
+        files = [path]
+    schema = read_avro_schema(files[0])
+    names = [f.name for f in schema.fields]
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for batch in batches:
+            for content in batch["content"]:
+                _schema, rows = _decode_container(bytes(content))
+                recs = {n: [r.get(n) for r in rows] for n in names}
+                yield pd.DataFrame(recs, columns=names)
+
+    binary = (
+        spark.read.format("binaryFile")
+        .load([f"file://{os.path.abspath(f)}" for f in files])
+        .select("content")
+        .repartition(len(files))
+    )
+    return binary.mapInPandas(decode, schema)
