@@ -73,6 +73,7 @@ def merge_changes(
     max_records_per_file: int = 2_000_000,
     mode: str = "cow",
     auto_compact: bool = True,
+    post_dedup_transform=None,
 ) -> MergeResult:
     """Apply a batch of change events to the table, exactly once.
 
@@ -80,6 +81,15 @@ def merge_changes(
     (default op is upsert when absent), the table's ``ts_col`` (+ optional
     ``tiebreak_col``) for LWW ordering, plus any subset of data columns.
     Extra columns trigger schema reconciliation per ``compat_mode``.
+
+    ``post_dedup_transform``: optional DataFrame -> DataFrame applied AFTER
+    the per-batch LWW dedup and BEFORE schema reconcile/write.  For pure
+    per-row derivations (the html->text extraction UDF), running them here
+    instead of on the raw stream is strictly cheaper: only the one LWW
+    winner per key is transformed (losers never reach the table), and the
+    raw stream crosses one shuffle less.  The transform must keep the key,
+    ts and op columns; the table's schema is reconciled against the
+    *transformed* shape.
 
     ``mode``:
       * ``"cow"`` — copy-on-write: join against the touched buckets and
@@ -100,31 +110,39 @@ def merge_changes(
     if batch_id is not None and str(batch_id) in table.committed_batch_ids():
         return MergeResult(snapshot=None, skipped=True, metrics={"reason": "batch_committed"})
 
-    # ---- schema reconcile (create/evolve/reject) ---------------------------
-    table_schema = table.schema()
-    has_op = op_col in source.columns
-    incoming = T.StructType([f for f in source.schema.fields if f.name != op_col])
-    rec = evolution.reconcile(table_schema, incoming, mode=compat_mode)
-    final_schema = rec.table_schema
-    final_cols = [f.name for f in final_schema.fields]
-    if rec.dropped:
-        source = source.drop(*rec.dropped)
-    # Coerce source columns to the table's declared types up front (covers
-    # the ntz<->ltz pairs reconcile allows) so LWW struct comparisons and the
-    # full-outer join see one type on both sides.
-    src_types = {f.name: f.dataType for f in source.schema.fields}
-    for f in final_schema.fields:
-        if f.name in src_types and src_types[f.name] != f.dataType:
-            source = source.withColumn(f.name, F.col(f.name).cast(f.dataType))
-
     if ts_col is None or ts_col not in source.columns:
         raise ValueError(f"merge requires LWW ts column '{ts_col}' in the source")
     order_cols = [ts_col] + ([tiebreak] if tiebreak and tiebreak in source.columns else [])
 
     # ---- LWW dedup to one row per key --------------------------------------
+    # Runs before the reconcile casts: the comparison is source-internal, so
+    # it is type-consistent whatever the incoming timestamp flavor is.
     src = lww_dedup(source, key, order_cols, strategy=dedup_strategy)
-    if not has_op:
+    if op_col not in src.columns:
         src = src.withColumn(op_col, F.lit("upsert"))
+    if post_dedup_transform is not None:
+        src = post_dedup_transform(src)
+        for required in (key, ts_col, op_col):
+            if required not in src.columns:
+                raise ValueError(
+                    f"post_dedup_transform must preserve column '{required}'"
+                )
+
+    # ---- schema reconcile (create/evolve/reject) on the final shape --------
+    table_schema = table.schema()
+    incoming = T.StructType([f for f in src.schema.fields if f.name != op_col])
+    rec = evolution.reconcile(table_schema, incoming, mode=compat_mode)
+    final_schema = rec.table_schema
+    final_cols = [f.name for f in final_schema.fields]
+    if rec.dropped:
+        src = src.drop(*rec.dropped)
+    # Coerce source columns to the table's declared types (covers the
+    # ntz<->ltz pairs reconcile allows) so the full-outer join and the
+    # resolution expressions see one type on both sides.
+    src_types = {f.name: f.dataType for f in src.schema.fields}
+    for f in final_schema.fields:
+        if f.name in src_types and src_types[f.name] != f.dataType:
+            src = src.withColumn(f.name, F.col(f.name).cast(f.dataType))
     src = src.withColumn(BUCKET_COL, table.bucket_expr())
 
     if mode == "mor":

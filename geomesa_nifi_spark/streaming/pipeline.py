@@ -54,6 +54,7 @@ def run_file_replay(
     pipeline_id: str = "cdc",
     max_files_per_trigger: int = 1,
     extract: bool = True,
+    extract_stage: str = "post_dedup",  # post_dedup | pre
     write_mode: str = "merge",  # merge (CoW) | mor | append
     compat_mode: CompatibilityMode = CompatibilityMode.UPDATE,
     dedup_strategy: str = "maxby",
@@ -70,6 +71,14 @@ def run_file_replay(
     with the same checkpoint resumes exactly where the last run (or crash)
     left off.  ``fail_after_batches`` injects a mid-stream crash for the
     resumability tests.
+
+    ``extract_stage="post_dedup"`` (default) runs the html->text UDF inside
+    the merge, after per-batch LWW dedup: only winners are extracted and the
+    raw html crosses one shuffle less — cheaper at any scale, identical
+    final state (extraction is a pure per-row function).  ``"pre"`` keeps
+    the reference's literal order (convert every record, then write) — it is
+    required for the append path and when the quarantine rules inspect
+    extracted columns.
     """
     # mergeSchema: replay directories may mix files written before and after
     # an additive schema change (SURVEY §7 hard-part 3); older files are
@@ -93,8 +102,12 @@ def run_file_replay(
             raise _InjectedFailure(f"injected crash before epoch {epoch_id}")
         batch_id = f"{pipeline_id}-{epoch_id}"
         offset_ranges = partition_offset_ranges(batch)
-        prepared = extract_pages(batch) if extract else batch
+        post_dedup = extract and extract_stage == "post_dedup" and write_mode != "append"
+        prepared = extract_pages(batch) if (extract and not post_dedup) else batch
         prepared = prepared.drop("partition") if "partition" in prepared.columns else prepared
+        transform = (
+            (lambda df: extract_pages(df).drop("html")) if post_dedup else None
+        )
         lineage = {"offset_ranges": offset_ranges, "epoch_id": epoch_id}
         if quarantine_dir is not None:
             # failure routing (≙ the failure relationship + per-file failure
@@ -133,6 +146,7 @@ def run_file_replay(
                 lineage=lineage,
                 collect_metrics=collect_metrics,
                 mode="mor" if write_mode == "mor" else "cow",
+                post_dedup_transform=transform,
             )
         rows = sum(r["rows"] for r in offset_ranges) if offset_ranges else 0
         stats.batches += 1

@@ -1,0 +1,170 @@
+"""Streaming stateful LWW: a live keyed state store over the change stream.
+
+The batch engine resolves last-writer-wins per micro-batch and merges into
+the lake; this operator maintains the SAME contract *continuously* in a
+Structured Streaming query — the engine's analogue of the reference's
+long-lived Kafka feature cache (``GetGeoMesaKafkaRecord``'s consumer loop
+holds live feature state between polls, ``GetGeoMesaKafkaRecord.scala:
+271-302``), built on ``applyInPandasWithState`` (Arrow-batched keyed state,
+no per-row Python).
+
+Semantics (identical to ``lake/merge.py``):
+
+* per key, the greatest ``(ts, tiebreak)`` wins — late events lose;
+* a winning ``delete`` emits a delete change and leaves a **tombstone** in
+  state, so an older upsert replayed after it still loses;
+* tombstones are evicted by event-time timeout once the watermark passes
+  ``ts + tombstone_ttl`` — the same retention-horizon contract as
+  ``compact(drop_tombstones=True)``: the TTL must exceed the maximum
+  possible re-delivery lag.
+
+Output is a *changelog*: one row per state transition (insert / update /
+delete), suitable for ``writeStream`` into the lake, a Kafka topic, or a
+live dashboard.  Keys whose incoming events all lose emit nothing.
+
+Scale shape: state is hash-partitioned by key across executors by the
+streaming state store (RocksDB-backed on a real cluster), payloads travel
+as one JSON string per key, and each micro-batch group is reduced in
+pandas before touching state — O(distinct keys in batch) state ops.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OP_DELETE = "delete"
+
+# state row: winner's order keys + tombstone flag + payload as JSON
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("tiebreak", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _output_schema(key_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("tiebreak", T.LongType()),
+            T.StructField("change", T.StringType()),  # insert | update | delete
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+
+
+def lww_state_stream(
+    changes: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = "src_offset",
+    op_col: str = "op",
+    payload_cols: list[str] | None = None,
+    tombstone_ttl_ms: int = 3_600_000,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Wire the stateful LWW operator onto a *streaming* DataFrame.
+
+    Returns the changelog stream (schema: key, ts_us, tiebreak, change,
+    payload-JSON).  ``changes`` must be a streaming DataFrame carrying
+    ``key_col``, ``ts_col`` (timestamp), optionally ``tiebreak_col`` and
+    ``op_col``; all other requested ``payload_cols`` ride along as JSON.
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in changes.columns
+            if c not in (key_col, ts_col, tiebreak_col, op_col)
+        ]
+    out_schema = _output_schema(key_col)
+
+    prepared = changes.withWatermark(ts_col, watermark).select(
+        F.col(key_col).cast("string").alias(key_col),
+        # the watermarked attribute itself must survive into the stateful
+        # operator's child plan or the analyzer rejects EventTimeTimeout
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+        (
+            F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
+        ).alias("_tiebreak"),
+        (
+            F.col(op_col) if op_col in changes.columns else F.lit("upsert")
+        ).alias("_op"),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("_payload"),
+    )
+
+    def update_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # tombstone retention horizon passed: drop the key entirely
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        # batch-local LWW winner (vectorized idxmax over the order pair)
+        order = list(zip(rows["_ts_us"].astype("int64"), rows["_tiebreak"].astype("int64")))
+        w = max(range(len(order)), key=order.__getitem__)
+        b_ts, b_tb = int(rows["_ts_us"].iloc[w]), int(rows["_tiebreak"].iloc[w])
+        b_op, b_payload = str(rows["_op"].iloc[w]), rows["_payload"].iloc[w]
+
+        if state.exists:
+            s_ts, s_tb, s_deleted, s_payload = state.get
+            if (b_ts, b_tb) < (int(s_ts), int(s_tb)):
+                return  # late event loses; nothing to emit
+            prior_live = not s_deleted
+        else:
+            prior_live = False
+
+        is_delete = b_op == OP_DELETE
+        state.update((b_ts, b_tb, is_delete, None if is_delete else b_payload))
+        if is_delete:
+            # event-time timeout at ts + ttl: fires once the watermark
+            # passes it (GroupStateTimeout.EventTimeTimeout)
+            state.setTimeoutTimestamp(b_ts // 1000 + tombstone_ttl_ms)
+            if prior_live:
+                yield pd.DataFrame(
+                    [[key[0], b_ts, b_tb, "delete", None]],
+                    columns=[key_col, "ts_us", "tiebreak", "change", "payload"],
+                )
+            return
+        change = "update" if prior_live else "insert"
+        yield pd.DataFrame(
+            [[key[0], b_ts, b_tb, change, b_payload]],
+            columns=[key_col, "ts_us", "tiebreak", "change", "payload"],
+        )
+
+    return (
+        prepared.groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def payload_to_columns(changelog: DataFrame, schema: T.StructType) -> DataFrame:
+    """Expand the JSON payload back into typed columns (the lake's shape)."""
+    return changelog.select(
+        *[c for c in changelog.columns if c != "payload"],
+        F.from_json("payload", schema).alias("_p"),
+    ).select(
+        *[c for c in changelog.columns if c != "payload"],
+        "_p.*",
+    )

@@ -355,3 +355,49 @@ def test_partial_update_visibility_column(spark, tmp_path):
     assert st["a"].vis == "user&admin" and st["a"].text == "ta"
     user_view = {r.url for r in filter_by_auths(t.scan(), ["user"], vis_col="vis").collect()}
     assert user_view == {"b"}  # a now needs admin too
+
+
+def test_post_dedup_transform_extracts_winners_only(spark, table):
+    """The transform runs after per-batch LWW dedup: only the winner per key
+    is transformed, schema reconcile sees the transformed shape, and the
+    final state equals extract-then-merge."""
+    from geomesa_nifi_spark.functions.extract import extract_pages
+
+    html = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    rows = [
+        Row(url="u1", warc_ts=ts(1), offset=1, html=b"<p>old cat</p>", op="upsert"),
+        Row(url="u1", warc_ts=ts(5), offset=5, html=b"<p>the cat and the dog</p>", op="upsert"),
+        Row(url="u2", warc_ts=ts(2), offset=2, html=b"<p>der und die von</p>", op="upsert"),
+        Row(url="u3", warc_ts=ts(3), offset=3, html=None, op="delete"),
+    ]
+    batch = spark.createDataFrame(rows, html)
+    merge_changes(
+        table,
+        batch,
+        batch_id="pdt-0",
+        post_dedup_transform=lambda df: extract_pages(df).drop("html"),
+    )
+    state = {r["url"]: (r["text"], r["lang"]) for r in table.scan().collect()}
+    assert state == {
+        "u1": ("the cat and the dog", "en"),
+        "u2": ("der und die von", "de"),
+    }
+
+
+def test_post_dedup_transform_must_preserve_key_columns(spark, table):
+    batch = spark.createDataFrame(
+        [ev("u1", 1, "x")], CHANGE
+    )
+    with pytest.raises(ValueError, match="must preserve column"):
+        merge_changes(
+            table, batch, batch_id="pdt-bad",
+            post_dedup_transform=lambda df: df.drop("url"),
+        )

@@ -1,0 +1,130 @@
+"""Streaming stateful LWW (applyInPandasWithState): winner tracking across
+micro-batches, late-event rejection, tombstones, and event-time expiry."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.streaming.stateful import lww_state_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("src_offset", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ]
+)
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(i))
+
+
+def us(i):
+    return int((ts(i) - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def _run_stream(spark, tmp_path, files, name, ttl_ms=3_600_000, watermark="0 seconds"):
+    """Write each list of rows as one parquet file; replay one file per
+    micro-batch through the stateful operator into a memory sink."""
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"batch-{i}.parquet")
+        )
+        # file source needs a flat dir of files; move the part file up
+        import glob
+        import shutil
+
+        part = glob.glob(str(src / f"batch-{i}.parquet" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"file-{i}.parquet"))
+        shutil.rmtree(str(src / f"batch-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = lww_state_stream(stream, tombstone_ttl_ms=ttl_ms, watermark=watermark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_insert_update_late_and_delete(spark, tmp_path):
+    rows = _run_stream(
+        spark,
+        tmp_path,
+        [
+            [("u1", ts(10), 1, "v1", "upsert"), ("u2", ts(10), 2, "w1", "upsert")],
+            [("u1", ts(20), 3, "v2", "upsert"), ("u2", ts(5), 4, "late", "upsert")],
+            [("u1", ts(30), 5, None, "delete"), ("u2", ts(4), 6, None, "delete")],
+        ],
+        "lww_basic",
+    )
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["url"], []).append(r)
+    u1 = sorted(by_key["u1"], key=lambda r: r["ts_us"])
+    assert [r["change"] for r in u1] == ["insert", "update", "delete"]
+    assert json.loads(u1[1]["payload"])["text"] == "v2"
+    # u2: late upsert and late delete both lose -> only the initial insert
+    assert [r["change"] for r in by_key["u2"]] == ["insert"]
+
+
+def test_tombstone_blocks_stale_resurrection(spark, tmp_path):
+    rows = _run_stream(
+        spark,
+        tmp_path,
+        [
+            [("u1", ts(50), 1, None, "delete")],
+            [("u1", ts(40), 2, "stale", "upsert")],  # older than tombstone
+        ],
+        "lww_tomb",
+    )
+    assert [r["change"] for r in rows] == ["delete"] or rows == []
+    # nothing resurrected
+    assert not any(r["change"] == "insert" for r in rows)
+
+
+def test_tombstone_expires_after_ttl(spark, tmp_path):
+    """Once the watermark passes ts + ttl the tombstone is evicted — a
+    replay of an OLD upsert afterwards is treated as new state (the
+    documented retention-horizon contract: ttl must exceed re-delivery
+    lag; here it deliberately does not)."""
+    # watermark delay 60s, ttl 10s: tombstone ts(50) times out once the
+    # watermark (= max event - 60s) passes ts(60); the replay at ts(65)
+    # stays ABOVE the watermark so it is not dropped as late data.
+    rows = _run_stream(
+        spark,
+        tmp_path,
+        [
+            [("u1", ts(50), 1, None, "delete")],
+            # end of this batch: watermark = 121 - 60 = 61 > 60 ...
+            [("zz", ts(121), 2, "advance", "upsert")],
+            # ... and THIS batch fires u1's event-time timeout (timeouts
+            # fire only for keys with no data in the batch)
+            [("zz", ts(122), 3, "advance2", "upsert")],
+            [("u1", ts(65), 4, "back", "upsert")],
+        ],
+        "lww_ttl",
+        ttl_ms=10_000,
+        watermark="60 seconds",
+    )
+    u1 = [r for r in rows if r["url"] == "u1"]
+    assert [r["change"] for r in u1] == ["insert"]
+    assert json.loads(u1[0]["payload"])["text"] == "back"
