@@ -74,6 +74,8 @@ def merge_changes(
     mode: str = "cow",
     auto_compact: bool = True,
     post_dedup_transform=None,
+    join_strategy: str = "auto",
+    broadcast_threshold_bytes: int = 64 * 1024 * 1024,
 ) -> MergeResult:
     """Apply a batch of change events to the table, exactly once.
 
@@ -90,6 +92,14 @@ def merge_changes(
     raw stream crosses one shuffle less.  The transform must keep the key,
     ts and op columns; the table's schema is reconciled against the
     *transformed* shape.
+
+    ``join_strategy`` (CoW only): ``"auto"`` (default) picks
+    ``"broadcast"`` — the resolution decomposed into three broadcast joins
+    with ZERO shuffle of the target side — when the deduped batch's cached
+    size is under ``broadcast_threshold_bytes``, else the ``"full_outer"``
+    sort-merge join.  At 100 TB the touched-bucket target data of a CDC
+    batch is orders of magnitude bigger than the batch itself, so
+    broadcast is the common case; the SMJ remains for bulk backfills.
 
     ``mode``:
       * ``"cow"`` — copy-on-write: join against the touched buckets and
@@ -165,12 +175,13 @@ def merge_changes(
         )  # <= num_buckets rows: trivially driver-safe at any scale
         if not touched:
             return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
+        strategy = _pick_join_strategy(src, join_strategy, broadcast_threshold_bytes)
         for attempt in range(5):
             try:
                 return _merge_prepared(
                     table, src, touched, base, rec, final_schema, batch_id, op_col,
                     ts_col, tiebreak, update_mode, lineage, collect_metrics,
-                    max_records_per_file,
+                    max_records_per_file, join_strategy=strategy,
                 )
             except CommitConflict:
                 if attempt == 4:
@@ -322,10 +333,26 @@ def compact(
     )
 
 
+def _pick_join_strategy(src: DataFrame, join_strategy: str, threshold_bytes: int) -> str:
+    """Stats-driven strategy pick: the deduped source is persisted and
+    already materialized (by the bucket-discovery collect), so its
+    InMemoryRelation size estimate is accurate — the same signal Catalyst's
+    CBO would use."""
+    if join_strategy != "auto":
+        return join_strategy
+    try:
+        size = int(
+            str(src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return "full_outer"
+    return "broadcast" if 0 < size <= threshold_bytes else "full_outer"
+
+
 def _merge_prepared(
     table, src, touched, base, rec, final_schema, batch_id, op_col,
     ts_col, tiebreak, update_mode, lineage, collect_metrics,
-    max_records_per_file,
+    max_records_per_file, join_strategy: str = "full_outer",
 ) -> MergeResult:
     key = table.key_col
     final_cols = [f.name for f in final_schema.fields]
@@ -347,6 +374,7 @@ def _merge_prepared(
         final_schema=final_schema,
         update_mode=update_mode,
         bucket_expr=table.bucket_expr(),
+        join_strategy=join_strategy,
     )
 
     obs = None
@@ -553,8 +581,9 @@ def _resolve(
     final_schema: T.StructType,
     update_mode: str,
     bucket_expr,
+    join_strategy: str = "full_outer",
 ) -> DataFrame:
-    """Full-outer join + per-row CDC resolution, all column expressions.
+    """Key join + per-row CDC resolution, all column expressions.
 
     Deletes produce **tombstones**: the row is kept with ``_deleted=true``
     and its LWW order keys, so an older upsert replayed *after* the delete
@@ -575,7 +604,32 @@ def _resolve(
         *[F.col(c).alias(f"_t_{c}") for c in final_cols if c != key],
     )
 
-    j = t.join(s, t["_tk"] == s["_sk"], "full_outer")
+    if join_strategy == "broadcast":
+        # Shuffle-free target side: the full outer is decomposed into three
+        # joins that all BROADCAST the (deduped, small) source —
+        #   matched   = tgt ⋈ src                 (BroadcastHashJoin inner)
+        #   tgt-only  = tgt ▷ src                 (BroadcastHashJoin left_anti)
+        #   src-only  = src ▷ matched-keys        (matched ⊆ src, so tiny)
+        # so the big side is only ever SCANNED, never exchanged — the SMJ
+        # full-outer shuffles every touched-bucket row instead.  All three
+        # frames are padded to the same joined shape and the identical
+        # resolution expressions below apply.
+        sb = F.broadcast(s)
+        s_fields = {f.name: f.dataType for f in s.schema.fields}
+        t_fields = {f.name: f.dataType for f in t.schema.fields}
+        inner = t.join(sb, t["_tk"] == s["_sk"], "inner")
+        tgt_only = t.join(sb, t["_tk"] == s["_sk"], "left_anti").select(
+            "*", *[F.lit(None).cast(dt).alias(c) for c, dt in s_fields.items()]
+        )
+        matched_keys = inner.select(F.col("_sk").alias("_mk")).distinct()
+        src_only = s.join(
+            F.broadcast(matched_keys), s["_sk"] == F.col("_mk"), "left_anti"
+        ).select(
+            "*", *[F.lit(None).cast(dt).alias(c) for c, dt in t_fields.items()]
+        )
+        j = inner.unionByName(tgt_only).unionByName(src_only)
+    else:
+        j = t.join(s, t["_tk"] == s["_sk"], "full_outer")
 
     matched = F.col("_tk").isNotNull() & F.col("_sk").isNotNull()
     src_only = F.col("_tk").isNull() & F.col("_sk").isNotNull()

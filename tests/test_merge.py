@@ -401,3 +401,92 @@ def test_post_dedup_transform_must_preserve_key_columns(spark, table):
             table, batch, batch_id="pdt-bad",
             post_dedup_transform=lambda df: df.drop("url"),
         )
+
+
+def _mixed_batches():
+    """Batches exercising every resolution action: insert, update, late-lose,
+    delete, tombstone refresh, resurrect, delete-before-insert."""
+    return [
+        [ev("a", 1, "a1"), ev("b", 1, "b1"), ev("c", 1, "c1")],
+        [ev("a", 5, "a2"), ev("b", 0, "late"), ev("c", 6, None, op="delete"),
+         ev("d", 2, None, op="delete")],  # delete-before-insert
+        [ev("c", 3, "stale"), ev("d", 1, "too-old"), ev("a", 7, None, op="delete"),
+         ev("e", 4, "e1")],
+        [ev("a", 9, "back"), ev("c", 8, None, op="delete")],  # resurrect a; refresh c
+    ]
+
+
+@pytest.mark.parametrize("strategy", ["full_outer", "broadcast"])
+def test_join_strategies_identical_state(spark, tmp_path, strategy):
+    table = LakeTable.create(
+        spark, str(tmp_path / f"t-{strategy}"), SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=8,
+    )
+    for i, rows in enumerate(_mixed_batches()):
+        merge_changes(
+            table, spark.createDataFrame(rows, CHANGE),
+            batch_id=f"js-{i}", join_strategy=strategy,
+        )
+    state = {r["url"]: (r["text"], r["offset"]) for r in table.scan().collect()}
+    assert state == {"a": ("back", 9), "b": ("b1", 1), "e": ("e1", 4)}
+
+
+@pytest.mark.parametrize("strategy", ["full_outer", "broadcast"])
+def test_join_strategies_identical_partial_update(spark, tmp_path, strategy):
+    table = LakeTable.create(
+        spark, str(tmp_path / f"p-{strategy}"), SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=8,
+    )
+    merge_changes(
+        table,
+        spark.createDataFrame([ev("a", 1, "a1"), ev("b", 1, "b1")], CHANGE),
+        batch_id="p-0",
+        join_strategy=strategy,
+    )
+    upd = spark.createDataFrame(
+        [Row(url="a", warc_ts=ts(5), offset=5, lang="fr"),
+         Row(url="zz", warc_ts=ts(5), offset=5, lang="xx")],  # unmatched -> reject
+        T.StructType([f for f in SCHEMA.fields if f.name != "text"]),
+    )
+    r = merge_changes(
+        table, upd, batch_id="p-1", update_mode="partial", join_strategy=strategy,
+    )
+    state = {x["url"]: (x["text"], x["lang"]) for x in table.scan().collect()}
+    assert state == {"a": ("a1", "fr"), "b": ("b1", "en")}
+    assert r.metrics.get("rejected") == 1
+
+
+def test_broadcast_strategy_no_target_shuffle(spark, tmp_path):
+    """The broadcast decomposition must never exchange the target side:
+    the plan contains BroadcastHashJoins and no SortMergeJoin."""
+    from geomesa_nifi_spark.lake.merge import _resolve
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "bp"), SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=8,
+    )
+    merge_changes(table, spark.createDataFrame([ev("a", 1, "a1")], CHANGE), batch_id="b-0")
+    src = spark.createDataFrame([ev("a", 2, "a2"), ev("x", 2, "x1")], CHANGE)
+    from geomesa_nifi_spark.lake.table import DELETED_COL
+    from pyspark.sql import functions as F
+
+    tgt = table.scan(include_tombstones=True)
+    resolved = _resolve(
+        src=src, tgt=tgt, key="url", op_col="op", ts_col="warc_ts",
+        tiebreak="offset", final_schema=SCHEMA, update_mode="full",
+        bucket_expr=table.bucket_expr(), join_strategy="broadcast",
+    )
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_auto_strategy_picks_broadcast_for_small_batch(spark, tmp_path):
+    from geomesa_nifi_spark.lake.merge import _pick_join_strategy
+
+    small = spark.createDataFrame([ev("a", 1, "x")], CHANGE).persist()
+    small.count()
+    assert _pick_join_strategy(small, "auto", 64 * 1024 * 1024) == "broadcast"
+    assert _pick_join_strategy(small, "auto", 1) == "full_outer"
+    assert _pick_join_strategy(small, "full_outer", 1) == "full_outer"
+    small.unpersist()
