@@ -622,6 +622,50 @@ FROM events
 """
 
 
+_SFT_SPEC = (
+    "event_id:Long,user_id:Integer,event_type:String,dtg:Date,"
+    "*geom:Point:srid=4326;geomesa.index.dtg=dtg"
+)
+
+
+def _convert_sft_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema ingest (≙ ``SftArgResolver`` spec resolution,
+    ``mixins/FeatureTypeProcessor.scala:70-92,121-128``): a reference SFT
+    spec string is resolved to a StructType and the event records are
+    conformed to the declared shape — casts driven by the resolved types,
+    the declared dtg field picking up the event time, the geometry carried
+    as WKT — exactly what ``PutGeoMesa`` does with a configured SftSpec."""
+    from geomesa_nifi_spark.functions.sft import resolve_sft
+
+    sft = resolve_sft(_SFT_SPEC, name="events_sft")
+    assert sft.dtg_field == "dtg" and sft.default_geom == "geom"
+    ev = _events(spark, sf_dir)
+    derived = {
+        "dtg": F.col("ts"),
+        "geom": F.format_string(
+            "POINT (%s %s)",
+            F.col("user_id").cast("double"),
+            F.col("event_id").cast("double"),
+        ),
+    }
+    return ev.select(
+        *[
+            derived.get(f.name, F.col(f.name)).cast(f.dataType).alias(f.name)
+            for f in sft.schema.fields
+        ]
+    )
+
+
+_CONVERT_SFT_SQL = """
+SELECT event_id,
+       user_id::int AS user_id,
+       event_type,
+       ts AS dtg,
+       'POINT (' || (user_id::double)::varchar || ' ' || (event_id::double)::varchar || ')' AS geom
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings operators
 # ---------------------------------------------------------------------------
@@ -995,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_json_props": _convert_json_props,
         "convert_xml_records": _convert_xml_records,
         "convert_typed_props": _convert_typed_props,
+        "convert_sft_spec": _convert_sft_spec,
         "extract_pages_cdc": _extract_pages_cdc,
         "avro_roundtrip": _avro_roundtrip,
         # training-data pipeline ops
@@ -1033,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_json_props": _CONVERT_JSON_SQL,
         "convert_xml_records": _CONVERT_XML_SQL,
         "convert_typed_props": _CONVERT_TYPED_SQL,
+        "convert_sft_spec": _CONVERT_SFT_SQL,
         "doc_text_stats": _DOC_TEXT_STATS_SQL,
         "doc_exact_dups": _DOC_EXACT_DUPS_SQL,
         "doc_ngram_jaccard": _DOC_NGRAM_JACCARD_SQL,

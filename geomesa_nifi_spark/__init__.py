@@ -19,6 +19,15 @@ pandas UDFs (Arrow) are used only for the genuinely non-relational extraction
 stage, and no per-row Python runs anywhere in the hot path.
 """
 
+from geomesa_nifi_spark.lake import (  # noqa: F401
+    CompatibilityMode,
+    LakeTable,
+    SchemaCompatibilityError,
+    append_only,
+    compact,
+    merge_changes,
+    rewrite_fids,
+)
 from geomesa_nifi_spark.session import get_spark  # noqa: F401
 
 __version__ = "0.1.0"

@@ -277,30 +277,54 @@ def _make_encoder(dt: T.DataType):
 
 def _make_nullable_encoder(dt: T.DataType):
     inner = _make_encoder(dt)
+    # NaN-as-missing can arrive via pandas (NA in a non-float column surfaces
+    # as float NaN) — but for FLOAT targets NaN is a genuine value and must
+    # roundtrip; only non-float types treat it as null.  `v != v` raises for
+    # arrays, so the check is guarded.
+    nan_is_missing = not isinstance(dt, (T.FloatType, T.DoubleType))
 
     def enc(buf, v):
         # union index 0 = null (zigzag(0) == 0), index 1 = value (zigzag(1)
-        # == 2).  NaN-as-missing can arrive via pandas; `v != v` raises for
-        # arrays, so the check is guarded.
+        # == 2)
         if v is None:
             buf.append(0)
             return
-        try:
-            missing = bool(v != v)
-        except (TypeError, ValueError):
-            missing = False
-        if missing:
-            buf.append(0)
-        else:
-            buf.append(2)
-            inner(buf, v)
+        if nan_is_missing:
+            try:
+                if bool(v != v):
+                    buf.append(0)
+                    return
+            except (TypeError, ValueError):
+                pass
+        buf.append(2)
+        inner(buf, v)
 
     return enc
 
 
-def _make_decoder(dt: T.DataType):
+def _nonnull_branch(avro_t):
+    """Strip the null branch of a nullable union; None if not a simple union."""
+    if isinstance(avro_t, list):
+        branches = [b for b in avro_t if b != "null"]
+        return branches[0] if len(branches) == 1 else None
+    return avro_t
+
+
+def _is_millis(avro_t) -> bool:
+    """True when the Avro logical type is millisecond-precision.  The codec
+    always WRITES micros, but a foreign spec-conformant file may carry
+    timestamp-millis / local-timestamp-millis — decoding those as micros
+    would yield instants 1000x too small."""
+    avro_t = _nonnull_branch(avro_t)
+    return isinstance(avro_t, dict) and str(avro_t.get("logicalType", "")).endswith(
+        "-millis"
+    )
+
+
+def _make_decoder(dt: T.DataType, avro_t=None):
     import datetime
 
+    avro_t = _nonnull_branch(avro_t)
     if isinstance(dt, T.StringType):
         def dec(r: _Reader):
             return r.bytes_().decode("utf-8")
@@ -321,23 +345,27 @@ def _make_decoder(dt: T.DataType):
             return r.bytes_()
     elif isinstance(dt, T.TimestampType):
         epoch_utc = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        mult = 1000 if _is_millis(avro_t) else 1
 
         def dec(r):
             # absolute instant: decode tz-aware so the Arrow/Spark boundary
             # does not reinterpret it in the session time zone
-            return epoch_utc + datetime.timedelta(microseconds=r.long())
+            return epoch_utc + datetime.timedelta(microseconds=r.long() * mult)
     elif isinstance(dt, T.TimestampNTZType):
         epoch = datetime.datetime(1970, 1, 1)
+        mult = 1000 if _is_millis(avro_t) else 1
 
         def dec(r):
-            return epoch + datetime.timedelta(microseconds=r.long())
+            return epoch + datetime.timedelta(microseconds=r.long() * mult)
     elif isinstance(dt, T.DateType):
         epoch_d = datetime.date(1970, 1, 1)
 
         def dec(r):
             return epoch_d + datetime.timedelta(days=r.long())
     elif isinstance(dt, T.ArrayType):
-        item = _make_nullable_decoder(dt.elementType)
+        item = _make_nullable_decoder(
+            dt.elementType, avro_t.get("items") if isinstance(avro_t, dict) else None
+        )
 
         def dec(r):
             out = []
@@ -351,7 +379,9 @@ def _make_decoder(dt: T.DataType):
                 for _ in range(n):
                     out.append(item(r))
     elif isinstance(dt, T.MapType):
-        val = _make_nullable_decoder(dt.valueType)
+        val = _make_nullable_decoder(
+            dt.valueType, avro_t.get("values") if isinstance(avro_t, dict) else None
+        )
 
         def dec(r):
             out = {}
@@ -366,7 +396,15 @@ def _make_decoder(dt: T.DataType):
                     k = r.bytes_().decode("utf-8")
                     out[k] = val(r)
     elif isinstance(dt, T.StructType):
-        subs = [(f.name, _make_nullable_decoder(f.dataType)) for f in dt.fields]
+        sub_avro = (
+            {f["name"]: f["type"] for f in avro_t.get("fields", [])}
+            if isinstance(avro_t, dict)
+            else {}
+        )
+        subs = [
+            (f.name, _make_nullable_decoder(f.dataType, sub_avro.get(f.name)))
+            for f in dt.fields
+        ]
 
         def dec(r):
             return {name: sub(r) for name, sub in subs}
@@ -375,8 +413,8 @@ def _make_decoder(dt: T.DataType):
     return dec
 
 
-def _make_nullable_decoder(dt: T.DataType):
-    inner = _make_decoder(dt)
+def _make_nullable_decoder(dt: T.DataType, avro_t=None):
+    inner = _make_decoder(dt, avro_t)
 
     def dec(r: _Reader):
         if r.long() == 0:
@@ -451,8 +489,12 @@ def _encode_container(
 
 
 def _decode_container(data: bytes) -> tuple[T.StructType, list[dict]]:
-    schema, reader, blocks = _open_container(data)
-    decoders = [(f.name, _make_nullable_decoder(f.dataType)) for f in schema.fields]
+    schema, reader, blocks, avro_schema = _open_container(data)
+    avro_fields = {f["name"]: f["type"] for f in avro_schema.get("fields", [])}
+    decoders = [
+        (f.name, _make_nullable_decoder(f.dataType, avro_fields.get(f.name)))
+        for f in schema.fields
+    ]
     rows: list[dict] = []
     for count, payload in blocks:
         r = _Reader(payload)
@@ -462,7 +504,8 @@ def _decode_container(data: bytes) -> tuple[T.StructType, list[dict]]:
 
 
 def _open_container(data: bytes):
-    """Parse header; return (spark_schema, reader, iterator of (count, raw block))."""
+    """Parse header; return (spark_schema, reader, iterator of
+    (count, raw block), raw avro schema dict)."""
     if data[:4] != MAGIC:
         raise ValueError("not an avro object container file (bad magic)")
     r = _Reader(data)
@@ -496,14 +539,14 @@ def _open_container(data: bytes):
                 raise ValueError("sync marker mismatch (corrupt container)")
             yield count, payload
 
-    return schema, r, blocks()
+    return schema, r, blocks(), avro_schema
 
 
 def read_avro_schema(path: str) -> T.StructType:
     """Read just the embedded schema (header-only driver read)."""
     with open(path, "rb") as fh:
         head = fh.read(1 << 20)  # header is metadata-sized; 1 MB is generous
-    schema, _r, _b = _open_container(head)
+    schema, _r, _b, _a = _open_container(head)
     return schema
 
 
@@ -536,11 +579,15 @@ def write_avro(
         if not rows:
             return
         data = _encode_container(schema, rows, codec=codec, block_rows=block_rows)
-        out = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
-        tmp = out + ".tmp"
+        # deterministic per-partition name: a task retried after the rename
+        # (or a speculative duplicate attempt) REPLACES its predecessor's
+        # file instead of leaving a second copy that read_avro would
+        # double-count; the random-suffixed tmp still guards torn files
+        out = os.path.join(path, f"part-{pid:05d}.avro")
+        tmp = f"{out}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "wb") as fh:
             fh.write(data)
-        os.rename(tmp, out)
+        os.replace(tmp, out)
         yield pa.RecordBatch.from_pylist(
             [{"path": out, "rows": len(rows)}],
             schema=pa.schema([("path", pa.string()), ("rows", pa.int64())]),
@@ -592,13 +639,18 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     names = [f.name for f in schema.fields]
 
     def decode(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
 
+        # Arrow batches built straight from python values — NOT via pandas,
+        # whose NaN-means-null convention would silently null out genuine
+        # NaN floats at the conversion boundary.
+        arrow_schema = to_arrow_schema(schema)
         for batch in batches:
-            for content in batch["content"]:
-                _schema, rows = _decode_container(bytes(content))
-                recs = {n: [r.get(n) for r in rows] for n in names}
-                yield pd.DataFrame(recs, columns=names)
+            for content in batch.column("content"):
+                _schema, rows = _decode_container(content.as_py())
+                recs = [{n: r.get(n) for n in names} for r in rows]
+                yield pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
 
     binary = (
         spark.read.format("binaryFile")
@@ -606,4 +658,4 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         .select("content")
         .repartition(len(files))
     )
-    return binary.mapInPandas(decode, schema)
+    return binary.mapInArrow(decode, schema)

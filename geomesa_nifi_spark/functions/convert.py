@@ -306,16 +306,21 @@ def apply_converter(
         partition order follows file offset, so row_number over it —
         per-file when file metadata exists — reproduces read order.  This is
         a window (one shuffle): only pay it when the config stores lineNo.
+
+        Without file metadata (non-file source) the fallback numbers rows
+        within each *input partition* (the upper bits of the mono id), never
+        a global Window.orderBy — that would funnel the entire read through
+        ONE task, silently serializing a 100-TB ingest.
         """
         from pyspark.sql import Window
 
+        mono = F.monotonically_increasing_id()
         try:
             df.select(F.col("_metadata.file_name"))
-            w = Window.partitionBy(F.col("_metadata.file_name")).orderBy(
-                F.monotonically_increasing_id()
-            )
+            w = Window.partitionBy(F.col("_metadata.file_name")).orderBy(mono)
         except Exception:
-            w = Window.orderBy(F.monotonically_increasing_id())
+            # mono id layout: (partition id << 33) | per-partition counter
+            w = Window.partitionBy(F.shiftrightunsigned(mono, 33)).orderBy(mono)
         return F.row_number().over(w).cast("long")
 
     def resolve(ref: str) -> Column:

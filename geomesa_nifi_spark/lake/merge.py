@@ -557,15 +557,30 @@ def rewrite_fids(
         *([(F.col(tiebreak) + F.lit(1)).alias(tiebreak)] if tiebreak else []),
         F.lit(OP_DELETE).alias(OP_COL_DEFAULT),
     )
+    # n_matched piggybacks on the merge's own first action via observe() —
+    # no separate job recomputing the bucket-scan join.  n_mapped is one
+    # count over the (tiny, broadcastable) mapping frame.
     n_mapped = m.count()
-    n_matched = matched.count()
-    batch = moved.unionByName(dropped, allowMissingColumns=True)
+    obs = Observation("fid-rewrite")
+    batch = moved.unionByName(dropped, allowMissingColumns=True).observe(
+        obs,
+        F.sum(
+            F.when(F.col(OP_COL_DEFAULT) == "upsert", 1).otherwise(0)
+        ).alias("moved_rows"),
+    )
     result = merge_changes(
         table,
         batch,
         batch_id=batch_id,
         lineage={**(lineage or {}), "operation": "rewrite_fids"},
     )
+    if result.skipped and result.metrics.get("reason") == "batch_committed":
+        # exactly-once replay: no action ran over the batch, obs.get would
+        # block forever — the original merge already recorded the counts
+        return result
+    # (an "empty_batch" skip DID run the bucket-discovery action, so the
+    # observation is recorded: fid_rewrites=0, fid_missing=n_mapped)
+    n_matched = int(obs.get.get("moved_rows") or 0)
     result.metrics["fid_rewrites"] = n_matched
     result.metrics["fid_missing"] = n_mapped - n_matched
     return result
@@ -605,29 +620,32 @@ def _resolve(
     )
 
     if join_strategy == "broadcast":
-        # Shuffle-free target side: the full outer is decomposed into three
-        # joins that all BROADCAST the (deduped, small) source —
-        #   matched   = tgt ⋈ src                 (BroadcastHashJoin inner)
-        #   tgt-only  = tgt ▷ src                 (BroadcastHashJoin left_anti)
-        #   src-only  = src ▷ matched-keys        (matched ⊆ src, so tiny)
-        # so the big side is only ever SCANNED, never exchanged — the SMJ
-        # full-outer shuffles every touched-bucket row instead.  All three
-        # frames are padded to the same joined shape and the identical
-        # resolution expressions below apply.
+        # Shuffle-free target side: the full outer is emulated without ever
+        # exchanging the big side —
+        #   t ⟕ src (left_outer BroadcastHashJoin): ONE full-width scan of
+        #     the touched buckets produces BOTH the matched rows (source
+        #     columns filled) and the target-only rows (source columns null).
+        #   src-only = src ▷ matched-keys, where matched-keys comes from a
+        #     KEY-PRUNED second pass (parquet reads only the key column — a
+        #     few % of the bytes) semi-joined against the broadcast source.
+        # Total target cost: 1 full-width scan + 1 key-only scan, vs the SMJ
+        # full-outer which shuffles every touched-bucket row.  All frames are
+        # padded to the same joined shape and the identical resolution
+        # expressions below apply.
         sb = F.broadcast(s)
-        s_fields = {f.name: f.dataType for f in s.schema.fields}
         t_fields = {f.name: f.dataType for f in t.schema.fields}
-        inner = t.join(sb, t["_tk"] == s["_sk"], "inner")
-        tgt_only = t.join(sb, t["_tk"] == s["_sk"], "left_anti").select(
-            "*", *[F.lit(None).cast(dt).alias(c) for c, dt in s_fields.items()]
+        matched_or_tgt_only = t.join(sb, t["_tk"] == s["_sk"], "left_outer")
+        matched_keys = (
+            t.select("_tk")
+            .join(F.broadcast(s.select("_sk")), F.col("_tk") == F.col("_sk"), "left_semi")
+            .select(F.col("_tk").alias("_mk"))
         )
-        matched_keys = inner.select(F.col("_sk").alias("_mk")).distinct()
         src_only = s.join(
             F.broadcast(matched_keys), s["_sk"] == F.col("_mk"), "left_anti"
         ).select(
             "*", *[F.lit(None).cast(dt).alias(c) for c, dt in t_fields.items()]
         )
-        j = inner.unionByName(tgt_only).unionByName(src_only)
+        j = matched_or_tgt_only.unionByName(src_only)
     else:
         j = t.join(s, t["_tk"] == s["_sk"], "full_outer")
 

@@ -68,7 +68,7 @@ class LakeTable:
     def create(
         spark: SparkSession,
         root: str,
-        schema: T.StructType,
+        schema: T.StructType | str,
         key_col: str,
         ts_col: str | None = None,
         tiebreak_col: str | None = None,
@@ -79,8 +79,21 @@ class LakeTable:
         """CREATE TABLE (IF NOT EXISTS): commit snapshot v0 with no files.
 
         Mirrors the reference's schema-init-at-startup
-        (``PutGeoMesa.scala:106-128``).
+        (``PutGeoMesa.scala:106-128``).  ``schema`` may be a ``StructType``
+        or a declared GeoMesa SFT spec / typesafe-config string
+        (``FeatureTypeProcessor.scala:70-92`` — resolved by
+        ``functions.sft.resolve_sft``); a declared spec's dtg field becomes
+        ``ts_col`` when not given, and its user data merges into the table
+        properties.
         """
+        extra_props: dict[str, str] = {}
+        if isinstance(schema, str):
+            from geomesa_nifi_spark.functions.sft import resolve_sft
+
+            sft = resolve_sft(schema)
+            schema = sft.schema
+            ts_col = ts_col or sft.dtg_field
+            extra_props = {f"sft.{k}": v for k, v in sft.user_data.items()}
         table = LakeTable(spark, root)
         if table.exists():
             if if_not_exists:
@@ -93,6 +106,7 @@ class LakeTable:
             "ts_col": ts_col or "",
             "tiebreak_col": tiebreak_col or "",
             "num_buckets": str(num_buckets),
+            **extra_props,
             **(properties or {}),
         }
         table.ledger.commit(

@@ -5,8 +5,9 @@ corpus: text statistics (tokens, language, quality) -> near-duplicate
 removal (keep the smallest doc_id of each similar pair) -> quality/language
 gates.  Every stage is a JVM-expression operator from this package, so the
 whole flow stays in one Catalyst plan: stats compute in the scan projection,
-the dedup anti-join broadcasts the (small) loser set, and the filters push
-down as far as the stats allow.
+the dedup anti-join's build strategy is left to AQE (broadcast when the
+loser set is small, shuffled when it is a material fraction of the corpus),
+and the filters push down as far as the stats allow.
 """
 
 from __future__ import annotations
@@ -49,7 +50,12 @@ def curate(
     """Documents that survive dedup + quality + language gates."""
     stats = text_stats(df)
     losers = near_dup_losers(df, threshold=jaccard_threshold, dedup=dedup)
-    kept = stats.join(F.broadcast(losers), "doc_id", "left_anti")
+    # NO broadcast hint on the loser set: on a real crawl near-dup losers
+    # can be 30-50% of the corpus, and a forced broadcast OOMs the
+    # executors.  AQE broadcasts small loser sets on its own (runtime
+    # stats), and falls back to a shuffled anti-join when they are big —
+    # the only shape that survives web scale.
+    kept = stats.join(losers, "doc_id", "left_anti")
     kept = kept.filter(F.col("quality") >= min_quality)
     if lang is not None:
         kept = kept.filter(F.col("lang_pred") == lang)

@@ -78,8 +78,28 @@ def evaluate(expression: str | None, auths: set[str]) -> bool:
     return val
 
 
+#: Visibility labels are Accumulo-style *policy expressions* — a dataset has
+#: a handful of them, not one per row.  The driver-side distinct collect is
+#: only safe under that assumption, so it is enforced: more distinct labels
+#: than this is almost certainly a misconfigured column (e.g. per-row
+#: unique strings) and would otherwise collect the whole column.
+MAX_DISTINCT_LABELS = 10_000
+
+
 def visible_expressions(df: DataFrame, auths: set[str], vis_col: str = "vis") -> list[str]:
-    distinct = [r[0] for r in df.select(vis_col).distinct().collect()]
+    # LIMIT n+1 bounds the collect itself: the guard cannot OOM the driver
+    # on the very dataset it is guarding against.
+    distinct = [
+        r[0]
+        for r in df.select(vis_col).distinct().limit(MAX_DISTINCT_LABELS + 1).collect()
+    ]
+    if len(distinct) > MAX_DISTINCT_LABELS:
+        raise VisibilityError(
+            f"more than {MAX_DISTINCT_LABELS} distinct values in {vis_col!r}: "
+            "visibility labels are policy expressions with tiny cardinality; "
+            "a per-row-unique column here would collect the whole dataset "
+            "to the driver"
+        )
     return [v for v in distinct if v is not None and evaluate(v, auths)]
 
 

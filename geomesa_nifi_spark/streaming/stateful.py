@@ -124,7 +124,16 @@ def lww_state_stream(
         if state.exists:
             s_ts, s_tb, s_deleted, s_payload = state.get
             if (b_ts, b_tb) < (int(s_ts), int(s_tb)):
-                return  # late event loses; nothing to emit
+                # late event loses; nothing to emit.  Re-arm a stored
+                # tombstone's eviction deadline defensively: the Scala
+                # GroupState contract documents timeouts as reset on every
+                # invocation (empirically, pyspark 4.1.2 retains it when no
+                # state call is made — covered by
+                # test_late_loser_rearms_tombstone_timeout — but the
+                # re-arm makes the TTL contract independent of that detail)
+                if s_deleted:
+                    state.setTimeoutTimestamp(int(s_ts) // 1000 + tombstone_ttl_ms)
+                return
             prior_live = not s_deleted
         else:
             prior_live = False

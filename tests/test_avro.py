@@ -154,3 +154,109 @@ def test_fastavro_interop_if_available(spark, tmp_path):
     with open(p, "rb") as fh:
         got = list(fastavro.reader(fh))
     assert got == [{"k": "a", "v": 1}, {"k": "b", "v": None}]
+
+
+def _handmade_container(avro_schema_json: str, fill_block) -> bytes:
+    """Assemble a spec-conformant container by hand (to carry schemas our
+    own writer never emits, e.g. millis logical types)."""
+    from geomesa_nifi_spark.functions import avro as A
+
+    out = bytearray()
+    out += A.MAGIC
+
+    def put_bytes(b: bytes):
+        A._zigzag_encode(out, len(b))
+        out.extend(b)
+
+    A._zigzag_encode(out, 2)
+    put_bytes(b"avro.schema")
+    put_bytes(avro_schema_json.encode())
+    put_bytes(b"avro.codec")
+    put_bytes(b"null")
+    out.append(0)  # end of metadata map
+    sync = b"\x01" * 16
+    out += sync
+    block = bytearray()
+    n_rows = fill_block(block)
+    A._zigzag_encode(out, n_rows)
+    A._zigzag_encode(out, len(block))
+    out += bytes(block)
+    out += sync
+    return bytes(out)
+
+
+def test_foreign_millis_timestamps_decode_correctly(spark, tmp_path):
+    """A spec-conformant foreign file with timestamp-millis must decode to
+    the right instant — not 1000x too small (the decode multiplies by the
+    unit, our own writer always emits micros)."""
+    import json as _json
+
+    from geomesa_nifi_spark.functions import avro as A
+
+    schema_json = _json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "url", "type": ["null", "string"]},
+                {
+                    "name": "ts",
+                    "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}],
+                },
+            ],
+        }
+    )
+    millis = 1_600_000_000_123  # 2020-09-13T12:26:40.123Z
+
+    def fill(block: bytearray) -> int:
+        block.append(2)  # union branch 1 = string
+        b = b"a"
+        A._zigzag_encode(block, len(b))
+        block += b
+        block.append(2)  # union branch 1 = long
+        A._zigzag_encode(block, millis)
+        return 1
+
+    data = _handmade_container(schema_json, fill)
+    schema, rows = A._decode_container(data)
+    assert schema["ts"].dataType == T.TimestampType()
+    got = rows[0]["ts"]
+    assert got == datetime.datetime(
+        2020, 9, 13, 12, 26, 40, 123000, tzinfo=datetime.timezone.utc
+    )
+    # and through the DataFrame reader end-to-end
+    p = tmp_path / "millis"
+    p.mkdir()
+    (p / "f.avro").write_bytes(data)
+    back = read_avro(spark, str(p)).collect()
+    assert back[0]["url"] == "a"
+
+
+def test_float_nan_roundtrips(spark, tmp_path):
+    """Genuine NaN in float/double columns must survive the roundtrip as
+    NaN — only non-float types treat NaN as pandas-missing."""
+    import math
+
+    df = spark.createDataFrame(
+        [("a", float("nan"), float("nan")), ("b", 1.5, 2.5)],
+        "k string, d double, f float",
+    )
+    out = str(tmp_path / "nan")
+    write_avro(df, out)
+    got = {r["k"]: r for r in read_avro(spark, out).collect()}
+    assert math.isnan(got["a"]["d"]) and math.isnan(got["a"]["f"])
+    assert got["b"]["d"] == 1.5
+
+
+def test_write_avro_retry_idempotent(spark, tmp_path):
+    """Deterministic part names: re-running a partition write (task retry /
+    speculative duplicate) replaces its file instead of adding a second."""
+    import os
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string").coalesce(1)
+    out = str(tmp_path / "retry")
+    write_avro(df, out)
+    write_avro(df, out)  # the "retry"
+    files = [n for n in os.listdir(out) if n.endswith(".avro")]
+    assert files == ["part-00000.avro"]
+    assert read_avro(spark, out).count() == 2

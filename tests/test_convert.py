@@ -284,3 +284,24 @@ def test_self_describing_export_roundtrip(spark, tmp_path):
     assert rows["a"].ts == dt.datetime(2024, 1, 2, 3, 4, 5)
     assert rows["a"].tags == ["t1", "t2"] and rows["a"].m == {"x": 1}
     assert rows["b"].n is None
+
+
+def test_line_no_fallback_is_per_partition_not_global(spark):
+    """Without file metadata (in-memory source), lineNo() numbers rows
+    within each input partition — a global Window.orderBy here would funnel
+    the whole read through ONE task (the 100-TB serialization trap)."""
+    df = spark.range(100).selectExpr("cast(id as string) as v").repartition(4)
+    cfg = {
+        "type": "json",
+        "fields": [
+            {"name": "v", "transform": "$v"},
+            {"name": "ln", "transform": "lineNo()"},
+        ],
+    }
+    out = apply_converter(spark, cfg, df=df)
+    lns = [r.ln for r in out.collect()]
+    assert len(lns) == 100
+    # numbering restarts in each of the 4 partitions; a global window would
+    # produce exactly one 1 and a max of 100
+    assert lns.count(1) == 4
+    assert max(lns) < 100

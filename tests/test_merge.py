@@ -479,6 +479,12 @@ def test_broadcast_strategy_no_target_shuffle(spark, tmp_path):
     plan = resolved._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # One full-width target scan (the left_outer) + one key-pruned scan (the
+    # matched-keys semi-join) — the round-2 decomposition paid three.
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan parquet" in ln]
+    assert len(scans) == 2, plan
+    key_only = [ln for ln in scans if "ReadSchema: struct<url:string>" in ln]
+    assert len(key_only) == 1, "expected exactly one key-pruned target scan:\n" + plan
 
 
 def test_auto_strategy_picks_broadcast_for_small_batch(spark, tmp_path):

@@ -128,3 +128,52 @@ def test_tombstone_expires_after_ttl(spark, tmp_path):
     u1 = [r for r in rows if r["url"] == "u1"]
     assert [r["change"] for r in u1] == ["insert"]
     assert json.loads(u1[0]["payload"])["text"] == "back"
+
+
+def test_late_loser_rearms_tombstone_timeout(spark, tmp_path):
+    """Every invocation clears a group's previously-set timeout, so a late
+    losing event hitting a stored tombstone must RE-ARM the eviction
+    deadline — otherwise the tombstone stays in state forever, violating
+    tombstone_ttl.  Observable as the final state-store row count."""
+    import glob
+    import shutil
+
+    files = [
+        [("u1", ts(50), 1, None, "delete")],
+        # late loser against the tombstone: the invocation resets u1's
+        # timeout; the fix re-arms it to ts(50) + ttl
+        [("u1", ts(40), 2, "late", "upsert")],
+        [("zz", ts(185), 3, "advance", "upsert")],  # watermark -> 65 > 60
+        [("zz", ts(186), 4, "advance2", "upsert")],  # fires u1's timeout
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b-{i}.parquet")
+        )
+        part = glob.glob(str(src / f"b-{i}.parquet" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"file-{i}.parquet"))
+        shutil.rmtree(str(src / f"b-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = lww_state_stream(stream, tombstone_ttl_ms=10_000, watermark="120 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww_rearm")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    # final state: only zz's live row — u1's tombstone was evicted despite
+    # the late-loser invocation in between
+    assert state_rows and state_rows[-1] == 1, state_rows

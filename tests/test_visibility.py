@@ -83,3 +83,14 @@ def test_expire_snapshots_and_vacuum(spark, tmp_path):
     fresh = LakeTable(spark, str(tmp_path / "t"))
     assert "5" in fresh.committed_batch_ids()
     assert "0" not in fresh.committed_batch_ids()
+
+
+def test_distinct_label_cardinality_guard(spark, monkeypatch):
+    """A per-row-unique 'vis' column must raise, not collect the dataset to
+    the driver — labels are policy expressions with tiny cardinality."""
+    from geomesa_nifi_spark.operators import visibility as V
+
+    monkeypatch.setattr(V, "MAX_DISTINCT_LABELS", 5)
+    df = spark.range(50).selectExpr("concat('label', id) as vis", "id")
+    with pytest.raises(V.VisibilityError, match="distinct"):
+        V.filter_by_auths(df, {"admin"})
