@@ -167,6 +167,41 @@ def _subprocess_job(job: str, changes_dir: str, cpus: int, n_batches: int, work:
     raise RuntimeError(f"{job} subprocess failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
 
 
+def _spread(runs: list[float]) -> float:
+    return (max(runs) - min(runs)) / min(runs) if runs else 0.0
+
+
+def _measure_pair(
+    job: str, changes: str, work: str, reps_big: int, reps_small: int,
+    max_extra: int = 2,
+) -> tuple[list[float], list[float], bool]:
+    """Interleaved scaling pair with a VALIDITY rule (round-2 lesson: both
+    small-side reps landed in a noisy host epoch and min-per-level produced
+    an impossible 1.202 efficiency).  After the planned reps, if
+    min-per-level yields efficiency > 1.0 — superlinear is physically
+    impossible here — or either level's rep spread exceeds 50% (far outside
+    the documented sigma band, BASELINE.md), the pair re-runs, up to
+    ``max_extra`` extra interleaved pairs.  All raw reps are published;
+    the caller flags ``epoch_noisy`` so the artifact is self-describing."""
+    big: list[float] = []
+    small: list[float] = []
+    for rep in range(reps_big):
+        big.append(_subprocess_job(job, changes, 8, 2, work))
+        if rep < reps_small:
+            small.append(_subprocess_job(job, changes, 2, 2, work))
+    if not small:
+        return big, small, False
+    noisy = False
+    for _extra in range(max_extra):
+        eff = (min(small) / min(big)) / 4
+        if 0 < eff <= 1.0 and _spread(small) <= 0.5 and _spread(big) <= 0.5:
+            break
+        noisy = True
+        big.append(_subprocess_job(job, changes, 8, 2, work))
+        small.append(_subprocess_job(job, changes, 2, 2, work))
+    return big, small, noisy
+
+
 def _replay_child(job: str, argv: list[str]) -> None:
     from geomesa_nifi_spark.session import get_spark
 
@@ -304,11 +339,9 @@ def main() -> None:
     # estimator (burst noise only ever inflates).
     reps8 = int(os.environ.get("GNS_BENCH_REPS", "3"))
     reps2 = min(2, reps8)
-    t8_runs, t2_runs = [], []
-    for _rep in range(reps8):
-        t8_runs.append(_subprocess_job("pipeline", html_changes, 8, 2, work))
-        if do_scaling and _rep < reps2:
-            t2_runs.append(_subprocess_job("pipeline", html_changes, 2, 2, work))
+    t8_runs, t2_runs, pipe_noisy = _measure_pair(
+        "pipeline", html_changes, work, reps8, reps2 if do_scaling else 0
+    )
     t_pipe_8 = min(t8_runs)
     queries["cdc_pipeline_local8"] = round(t_pipe_8, 3)
     pipeline = {
@@ -321,35 +354,41 @@ def main() -> None:
     if do_scaling:
         res = {}
         t_pipe_2 = min(t2_runs)
+        pipe_eff = round((t_pipe_2 / t_pipe_8) / 4, 3)
         queries["cdc_pipeline_local2"] = round(t_pipe_2, 3)
         res["pipeline"] = {
             "events_per_sec_small": round(n_pipe / t_pipe_2, 1),
             "events_per_sec_big": round(n_pipe / t_pipe_8, 1),
-            "efficiency": round((t_pipe_2 / t_pipe_8) / 4, 3),
+            "efficiency": pipe_eff,
+            "efficiency_valid": 0.0 < pipe_eff <= 1.0,
+            "epoch_noisy": pipe_noisy,
             "runs_small_sec": [round(t, 1) for t in t2_runs],
             "runs_big_sec": [round(t, 1) for t in t8_runs],
         }
         # secondary pair: the extraction stage alone (pure vectorized-UDF
         # scaling, no lake writes), interleaved best-of-2 on a quarter slice
-        e8_runs, e2_runs = [], []
-        for _rep in range(2):
-            e8_runs.append(_subprocess_job("extract", html_changes, 8, 2, work))
-            e2_runs.append(_subprocess_job("extract", html_changes, 2, 2, work))
+        e8_runs, e2_runs, ext_noisy = _measure_pair("extract", html_changes, work, 2, 2)
         t_ext_8, t_ext_2 = min(e8_runs), min(e2_runs)
+        ext_eff = round((t_ext_2 / t_ext_8) / 4, 3)
         queries["cdc_extract_local8"] = round(t_ext_8, 3)
         queries["cdc_extract_local2"] = round(t_ext_2, 3)
         res["extract"] = {
             # the extract child processes a deterministic quarter-slice
             "events_per_sec_small": round((n_pipe / 4) / t_ext_2, 1),
             "events_per_sec_big": round((n_pipe / 4) / t_ext_8, 1),
-            "efficiency": round((t_ext_2 / t_ext_8) / 4, 3),
+            "efficiency": ext_eff,
+            "efficiency_valid": 0.0 < ext_eff <= 1.0,
+            "epoch_noisy": ext_noisy,
+            "runs_small_sec": [round(t, 1) for t in e2_runs],
+            "runs_big_sec": [round(t, 1) for t in e8_runs],
         }
         scaling = {
             "parallelism_small": 2,
             "parallelism_big": 8,
             "jobs": res,
             "efficiency": res["pipeline"]["efficiency"],
-            "isolation": "fresh JVM per measurement, warmed, interleaved best-of-2",
+            "isolation": "fresh JVM per measurement, warmed, interleaved, "
+                         "min per level, auto-retried on validity failure",
         }
 
     shutil.rmtree(work, ignore_errors=True)

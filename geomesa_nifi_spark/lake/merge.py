@@ -94,12 +94,15 @@ def merge_changes(
     *transformed* shape.
 
     ``join_strategy`` (CoW only): ``"auto"`` (default) picks
-    ``"broadcast"`` — the resolution decomposed into three broadcast joins
-    with ZERO shuffle of the target side — when the deduped batch's cached
-    size is under ``broadcast_threshold_bytes``, else the ``"full_outer"``
-    sort-merge join.  At 100 TB the touched-bucket target data of a CDC
-    batch is orders of magnitude bigger than the batch itself, so
-    broadcast is the common case; the SMJ remains for bulk backfills.
+    ``"broadcast"`` — the resolution decomposed into broadcast joins with
+    ZERO shuffle of the target side — when the deduped batch's cached size
+    is under ``broadcast_threshold_bytes`` AND the touched-bucket target
+    holds ≥``BROADCAST_MIN_TARGET_RATIO``× the batch's rows (from ledger
+    metadata, no extra job); else the ``"full_outer"`` sort-merge join.
+    At 100 TB the touched-bucket target of a CDC batch is orders of
+    magnitude bigger than the batch, so broadcast is the common case; the
+    SMJ takes bulk backfills and batch-sized tables, where hash-building
+    the source per task costs more than its one shuffle saves.
 
     ``mode``:
       * ``"cow"`` — copy-on-write: join against the touched buckets and
@@ -175,7 +178,13 @@ def merge_changes(
         )  # <= num_buckets rows: trivially driver-safe at any scale
         if not touched:
             return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
-        strategy = _pick_join_strategy(src, join_strategy, broadcast_threshold_bytes)
+        touched_set = set(touched)
+        tgt_rows = sum(
+            f.rows for f in base.files if f.bucket in touched_set and f.kind == "base"
+        )
+        strategy = _pick_join_strategy(
+            src, join_strategy, broadcast_threshold_bytes, tgt_rows
+        )
         for attempt in range(5):
             try:
                 return _merge_prepared(
@@ -333,20 +342,45 @@ def compact(
     )
 
 
-def _pick_join_strategy(src: DataFrame, join_strategy: str, threshold_bytes: int) -> str:
+#: auto picks broadcast only when the touched-bucket target holds at least
+#: this many rows per deduped source row.  Broadcasting the source pays for
+#: itself by NOT shuffling the (much bigger) target; when the two sides are
+#: comparable — a bulk backfill, or a small table — the SMJ's one shuffle is
+#: cheaper than hash-building the source on every task (measured 2x at
+#: batch≈target size, see BASELINE.md round 3).
+BROADCAST_MIN_TARGET_RATIO = 8
+
+
+def _pick_join_strategy(
+    src: DataFrame,
+    join_strategy: str,
+    threshold_bytes: int,
+    tgt_rows: int | None = None,
+) -> str:
     """Stats-driven strategy pick: the deduped source is persisted and
     already materialized (by the bucket-discovery collect), so its
     InMemoryRelation size estimate is accurate — the same signal Catalyst's
-    CBO would use."""
+    CBO would use.  ``tgt_rows`` (touched-bucket row count from the ledger
+    metadata, zero extra jobs) gates broadcast on the target actually being
+    much bigger than the batch; at 100 TB that is the common CDC case, but
+    a backfill whose batch rivals the table must take the SMJ."""
     if join_strategy != "auto":
         return join_strategy
     try:
-        size = int(
-            str(src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
+        stats = src._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+        rc = stats.rowCount()
+        src_rows = int(str(rc.get())) if rc.isDefined() else None
     except Exception:
         return "full_outer"
-    return "broadcast" if 0 < size <= threshold_bytes else "full_outer"
+    if not (0 < size <= threshold_bytes):
+        return "full_outer"
+    if tgt_rows is not None:
+        if src_rows is None:
+            src_rows = src.count()  # cached by the caller's persist: cheap
+        if src_rows and tgt_rows < BROADCAST_MIN_TARGET_RATIO * src_rows:
+            return "full_outer"
+    return "broadcast"
 
 
 def _merge_prepared(

@@ -84,3 +84,38 @@ def test_cow_conflict_same_bucket_redoes_merge(spark, tmp_path, monkeypatch):
     assert final == {"k": "intruder"}  # offset 50 beats 10 after the redo
     # the abandoned first-attempt files are unreferenced -> vacuum removes them
     assert t.vacuum()
+
+
+def test_cow_changelog_survives_rebase(spark, tmp_path, monkeypatch):
+    """changelog.enabled CoW retention under conflict-rebase: a commit whose
+    summary lists changelog side files loses the version race to a
+    DISJOINT-bucket commit and rebases — table_changes must still surface
+    the rebased commit's change rows (merge.py:393-415,441-465)."""
+    from geomesa_nifi_spark.streaming.changes import table_changes
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "cl"), SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+        properties={"changelog.enabled": "true"},
+    )
+    # pick two keys that land in different buckets so the rebase path (not
+    # the redo path) is taken
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(20)], "url string")
+    buckets = {r["url"]: r["b"] for r in
+               probe.select("url", t.bucket_expr().alias("b")).collect()}
+    k_mine = "k0"
+    k_other = next(k for k, b in buckets.items() if b != buckets[k_mine])
+
+    _inject_commit_between(monkeypatch, t, spark, [ev(k_other, 99, "intruder")])
+    r = merge_changes(t, spark.createDataFrame([ev(k_mine, 1, "mine")], CHANGE),
+                      batch_id="me", mode="cow")
+    assert not r.skipped
+    # both commits present; ours rebased on top of the intruder's
+    bids = [s.summary.get("batch_id") for s in t.history()]
+    assert "intruder" in bids and "me" in bids
+    ch = table_changes(t)
+    by_batch = {r["_batch_id"]: r["url"] for r in ch.collect()}
+    assert by_batch.get("me") == k_mine, ch.collect()
+    assert by_batch.get("intruder") == k_other

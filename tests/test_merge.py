@@ -496,3 +496,31 @@ def test_auto_strategy_picks_broadcast_for_small_batch(spark, tmp_path):
     assert _pick_join_strategy(small, "auto", 1) == "full_outer"
     assert _pick_join_strategy(small, "full_outer", 1) == "full_outer"
     small.unpersist()
+
+
+def test_auto_strategy_requires_target_much_bigger(spark):
+    """Broadcast only pays when the touched-bucket target dwarfs the batch
+    (measured 2x slower at batch≈target size): the auto pick must take the
+    SMJ for backfill-shaped batches even when they fit the size threshold."""
+    from geomesa_nifi_spark.lake.merge import (
+        BROADCAST_MIN_TARGET_RATIO,
+        _pick_join_strategy,
+    )
+
+    src = spark.createDataFrame([ev(f"k{i}", 1, "x") for i in range(10)], CHANGE).persist()
+    src.count()
+    mb64 = 64 * 1024 * 1024
+    # target barely bigger than the batch -> SMJ
+    assert _pick_join_strategy(src, "auto", mb64, tgt_rows=10) == "full_outer"
+    assert (
+        _pick_join_strategy(src, "auto", mb64, tgt_rows=10 * BROADCAST_MIN_TARGET_RATIO - 1)
+        == "full_outer"
+    )
+    # target >= ratio x batch -> broadcast
+    assert (
+        _pick_join_strategy(src, "auto", mb64, tgt_rows=10 * BROADCAST_MIN_TARGET_RATIO)
+        == "broadcast"
+    )
+    # empty target (first batch): nothing to save by broadcasting
+    assert _pick_join_strategy(src, "auto", mb64, tgt_rows=0) == "full_outer"
+    src.unpersist()
