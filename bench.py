@@ -167,8 +167,14 @@ def _subprocess_job(job: str, changes_dir: str, cpus: int, n_batches: int, work:
     raise RuntimeError(f"{job} subprocess failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
 
 
-def _spread(runs: list[float]) -> float:
-    return (max(runs) - min(runs)) / min(runs) if runs else 0.0
+def _floor_confirmed(runs: list[float]) -> bool:
+    """The min is trustworthy once a SECOND rep lands within 15% of it —
+    host noise on this box only ever inflates, so two close reps mean the
+    true floor has been observed, not one lucky outlier."""
+    if len(runs) < 2:
+        return False
+    s = sorted(runs)
+    return s[1] <= 1.15 * s[0]
 
 
 def _measure_pair(
@@ -177,12 +183,12 @@ def _measure_pair(
 ) -> tuple[list[float], list[float], bool]:
     """Interleaved scaling pair with a VALIDITY rule (round-2 lesson: both
     small-side reps landed in a noisy host epoch and min-per-level produced
-    an impossible 1.202 efficiency).  After the planned reps, if
-    min-per-level yields efficiency > 1.0 — superlinear is physically
-    impossible here — or either level's rep spread exceeds 50% (far outside
-    the documented sigma band, BASELINE.md), the pair re-runs, up to
-    ``max_extra`` extra interleaved pairs.  All raw reps are published;
-    the caller flags ``epoch_noisy`` so the artifact is self-describing."""
+    an impossible 1.202 efficiency).  After the planned reps, the pair
+    re-runs (up to ``max_extra`` extra interleaved pairs) until
+    min-per-level yields a possible efficiency (≤ 1.0 — superlinear is
+    physically impossible here) AND both levels' floors are confirmed by a
+    second close rep.  All raw reps are published; the caller flags
+    ``epoch_noisy`` so the artifact is self-describing."""
     big: list[float] = []
     small: list[float] = []
     for rep in range(reps_big):
@@ -194,7 +200,7 @@ def _measure_pair(
     noisy = False
     for _extra in range(max_extra):
         eff = (min(small) / min(big)) / 4
-        if 0 < eff <= 1.0 and _spread(small) <= 0.5 and _spread(big) <= 0.5:
+        if 0 < eff <= 1.0 and _floor_confirmed(small) and _floor_confirmed(big):
             break
         noisy = True
         big.append(_subprocess_job(job, changes, 8, 2, work))
@@ -337,10 +343,11 @@ def main() -> None:
     # local[8] runs still catch occasional bursts — so 3 reps at 8, 2 at 2.
     # All raw per-rep times are published below; min per level is the
     # estimator (burst noise only ever inflates).
-    reps8 = int(os.environ.get("GNS_BENCH_REPS", "3"))
+    reps8 = int(os.environ.get("GNS_BENCH_REPS", "4"))
     reps2 = min(2, reps8)
     t8_runs, t2_runs, pipe_noisy = _measure_pair(
-        "pipeline", html_changes, work, reps8, reps2 if do_scaling else 0
+        "pipeline", html_changes, work, reps8, reps2 if do_scaling else 0,
+        max_extra=3,
     )
     t_pipe_8 = min(t8_runs)
     queries["cdc_pipeline_local8"] = round(t_pipe_8, 3)

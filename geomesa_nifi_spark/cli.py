@@ -1,0 +1,188 @@
+"""spark-submit entry point: `python -m geomesa_nifi_spark <cmd>`.
+
+The north rule requires the engine to run "via spark-submit --py-files on
+multi-executor clusters"; this module is that driver.  Typical cluster
+invocation:
+
+    zip -r gns.zip geomesa_nifi_spark
+    spark-submit --py-files gns.zip -m geomesa_nifi_spark ...   # or:
+    spark-submit --py-files gns.zip cli_shim.py replay \\
+        --table /lake/pages --source /ingest/changes \\
+        --checkpoint /lake/_ckpt/pages --mode mor
+
+When launched under spark-submit the session inherits the submitted
+master/conf (we never override a cluster master with local[*]); standalone
+invocations fall back to local mode for smoke runs.
+
+Commands:
+  create-table  — declare a table (StructType DDL or a GeoMesa SFT spec)
+  replay        — checkpoint-resumable CDC replay of a change-file stream
+  compact       — fold merge-on-read deltas into base files
+  vacuum        — expire snapshots + delete unreferenced files
+  show          — table state summary (version, schema, per-bucket stats)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    # Under spark-submit, master/conf come from the submit command; the
+    # builder must not override them.  get_spark only sets engine-required
+    # session confs (UTC, AQE, parquet NTZ inference).
+    from geomesa_nifi_spark.session import get_spark
+
+    return get_spark(app, master=None)
+
+
+def _cmd_create_table(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable
+
+    spark = _spark("gns-create-table")
+    schema = args.schema
+    if not args.sft:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromDDL(schema)
+    table = LakeTable.create(
+        spark,
+        args.table,
+        schema,
+        key_col=args.key,
+        ts_col=args.ts,
+        tiebreak_col=args.tiebreak,
+        num_buckets=args.buckets,
+        if_not_exists=args.if_not_exists,
+    )
+    print(json.dumps({"table": args.table, "version": table.snapshot().version}))
+    return 0
+
+
+def _cmd_replay(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable
+    from geomesa_nifi_spark.streaming.pipeline import run_file_replay
+
+    spark = _spark("gns-replay")
+    table = LakeTable(spark, args.table)
+    stats = run_file_replay(
+        spark,
+        table,
+        source_dir=args.source,
+        checkpoint_dir=args.checkpoint,
+        pipeline_id=args.pipeline_id,
+        max_files_per_trigger=args.max_files_per_trigger,
+        extract=not args.no_extract,
+        write_mode=args.mode,
+        metrics_path=args.metrics,
+        quarantine_dir=args.quarantine,
+    )
+    print(
+        json.dumps(
+            {
+                "batches": stats.batches,
+                "rows": stats.rows,
+                "skipped": stats.skipped,
+                "version": table.snapshot().version,
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_compact(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable, compact
+
+    spark = _spark("gns-compact")
+    table = LakeTable(spark, args.table)
+    snap = compact(table, drop_tombstones=args.drop_tombstones)
+    print(json.dumps({"version": snap.version}))
+    return 0
+
+
+def _cmd_vacuum(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable
+
+    spark = _spark("gns-vacuum")
+    table = LakeTable(spark, args.table)
+    expired = table.expire_snapshots(keep_last=args.keep_last)
+    freed = table.vacuum()
+    print(json.dumps({"expired_snapshots": len(expired), "deleted_files": len(freed)}))
+    return 0
+
+
+def _cmd_show(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable
+
+    spark = _spark("gns-show")
+    table = LakeTable(spark, args.table)
+    snap = table.snapshot()
+    out = {
+        "version": snap.version,
+        "schema": [f.name for f in table.schema().fields],
+        "files": len(snap.files),
+        "rows": sum(f.rows for f in snap.files),
+        "properties": snap.properties,
+        "last_operation": snap.summary.get("operation"),
+    }
+    if args.deltas:
+        out["delta_stats"] = table.delta_stats()
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="geomesa_nifi_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create-table", help="declare a lake table")
+    c.add_argument("--table", required=True)
+    c.add_argument("--schema", required=True,
+                   help="StructType DDL, or a GeoMesa SFT spec with --sft")
+    c.add_argument("--sft", action="store_true",
+                   help="treat --schema as an SFT spec string / config")
+    c.add_argument("--key", required=True)
+    c.add_argument("--ts", default=None)
+    c.add_argument("--tiebreak", default=None)
+    c.add_argument("--buckets", type=int, default=32)
+    c.add_argument("--if-not-exists", action="store_true")
+    c.set_defaults(fn=_cmd_create_table)
+
+    r = sub.add_parser("replay", help="checkpoint-resumable CDC replay")
+    r.add_argument("--table", required=True)
+    r.add_argument("--source", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--pipeline-id", default="cdc")
+    r.add_argument("--mode", choices=("merge", "mor", "append"), default="mor")
+    r.add_argument("--max-files-per-trigger", type=int, default=1)
+    r.add_argument("--no-extract", action="store_true")
+    r.add_argument("--metrics", default=None)
+    r.add_argument("--quarantine", default=None)
+    r.set_defaults(fn=_cmd_replay)
+
+    k = sub.add_parser("compact", help="fold MoR deltas into base files")
+    k.add_argument("--table", required=True)
+    k.add_argument("--drop-tombstones", action="store_true")
+    k.set_defaults(fn=_cmd_compact)
+
+    v = sub.add_parser("vacuum", help="expire snapshots + delete orphans")
+    v.add_argument("--table", required=True)
+    v.add_argument("--keep-last", type=int, default=10)
+    v.set_defaults(fn=_cmd_vacuum)
+
+    s = sub.add_parser("show", help="table state summary")
+    s.add_argument("--table", required=True)
+    s.add_argument("--deltas", action="store_true")
+    s.set_defaults(fn=_cmd_show)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

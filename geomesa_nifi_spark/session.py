@@ -45,20 +45,26 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for the engine.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
-    On a real cluster this function is a no-op passthrough: spark-submit
-    provides the master and executor topology, and these configs remain
-    valid (they are all cluster-safe).
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    — UNLESS the process was launched by spark-submit (its ``spark.master``
+    arrives as a JVM system property / SparkConf entry), in which case the
+    submitted master and executor topology win and this function only adds
+    the engine's cluster-safe session confs.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        from pyspark import SparkConf
+
+        if SparkConf().get("spark.master", None) is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -103,6 +103,41 @@ def kafka_source_options(config: dict) -> KafkaPlan:
     return KafkaPlan(options=opts, trigger_processing_time=trigger, checkpoint_suffix=suffix)
 
 
+#: The standard Kafka source schema — what ``read_kafka_stream`` yields and
+#: what any FAKE source must produce for the contract test
+#: (``tests/test_kafka_contract.py``): the downstream pipeline is defined
+#: entirely over these columns, so a file-backed stream with this schema
+#: exercises every line except the broker connection itself.
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_records_to_changes(df, value_schema, include_lineage: bool = True):
+    """Decode Kafka records into typed change events — the per-record
+    conversion the reference applies with its RecordReader
+    (``GetGeoMesaKafkaRecord.scala:271-302``), source-agnostic: works on the
+    real Kafka source's output or any frame with the same columns.
+
+    ``value`` is parsed as JSON against ``value_schema`` (the engine's
+    converter layer handles csv/xml/avro payloads upstream when needed);
+    the Kafka coordinates ride along as ``_kafka_partition`` /
+    ``_kafka_offset`` lineage columns so per-partition offset ranges land
+    in the commit lineage."""
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r"),
+        F.col("partition").alias("_kafka_partition"),
+        F.col("offset").alias("_kafka_offset"),
+    )
+    cols = ["r.*"]
+    if include_lineage:
+        cols += ["_kafka_partition", "_kafka_offset"]
+    return out.select(*cols)
+
+
 def read_kafka_stream(spark, config: dict):
     """Build the streaming DataFrame (requires the spark-sql-kafka jar).
 

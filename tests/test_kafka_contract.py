@@ -1,0 +1,137 @@
+"""Kafka source contract test: the downstream pipeline is defined entirely
+over the standard Kafka record columns, so a FAKE source with that exact
+schema exercises the whole path (decode -> LWW merge -> exactly-once lake
+commit) end-to-end without the broker/jar — the environment-blocked piece
+is confined to `reader.load()` (GetGeoMesaKafkaRecord.scala:271-302)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake import LakeTable, merge_changes
+from geomesa_nifi_spark.streaming.kafka import (
+    KAFKA_RECORD_SCHEMA,
+    kafka_records_to_changes,
+)
+
+VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ]
+)
+TABLE_SCHEMA = T.StructType([f for f in VALUE_SCHEMA.fields if f.name != "op"])
+
+
+def _kafka_record(url, secs, offset, text, op="upsert", partition=0):
+    ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=secs)
+    payload = {
+        "url": url,
+        "warc_ts": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+        "offset": offset,
+        "text": text,
+        "op": op,
+    }
+    return (
+        url.encode(),
+        json.dumps(payload).encode(),
+        "pages",
+        partition,
+        offset,
+        ts,
+        0,
+    )
+
+
+def test_fake_kafka_source_end_to_end(spark, tmp_path):
+    """Two micro-batches of Kafka-shaped records flow through decode ->
+    merge with per-partition offset lineage; final state is LWW-correct and
+    replaying the stream from scratch is a no-op (exactly-once)."""
+    src = tmp_path / "fake-kafka"
+    src.mkdir()
+    batches = [
+        [_kafka_record("u1", 10, 0, "v1"), _kafka_record("u2", 10, 1, "w1", partition=1)],
+        [
+            _kafka_record("u1", 20, 2, "v2"),
+            _kafka_record("u2", 5, 3, "late"),  # loses LWW
+            _kafka_record("u3", 9, 4, None, op="delete"),  # delete-before-insert
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
+        import glob
+        import shutil
+
+        part = glob.glob(str(src / f"b{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"file-{i}.parquet"))
+        shutil.rmtree(str(src / f"b{i}"))
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TABLE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+    )
+
+    def run_replay(name):
+        stream = (
+            spark.readStream.schema(KAFKA_RECORD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        changes = kafka_records_to_changes(stream, VALUE_SCHEMA)
+        seen = []
+
+        def process(batch, epoch_id):
+            from pyspark.sql import functions as F
+
+            ranges = [
+                r.asDict()
+                for r in batch.groupBy("_kafka_partition")
+                .agg(
+                    F.min("_kafka_offset").alias("lo"),
+                    F.max("_kafka_offset").alias("hi"),
+                    F.count("*").alias("rows"),
+                )
+                .collect()
+            ]
+            r = merge_changes(
+                table,
+                batch.drop("_kafka_partition", "_kafka_offset"),
+                batch_id=f"kafka-{epoch_id}",
+                lineage={"offset_ranges": ranges},
+            )
+            seen.append((epoch_id, r.skipped))
+
+        q = (
+            changes.writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return seen
+
+    first = run_replay("a")
+    assert len(first) == 2 and not any(s for _, s in first)
+    state = {r["url"]: r["text"] for r in table.scan().collect()}
+    assert state == {"u1": "v2", "u2": "w1"}  # late u2 lost; u3 tombstoned
+    v = table.snapshot().version
+
+    # fresh checkpoint, same batch ids -> every merge skips, version unchanged
+    second = run_replay("b")
+    assert all(s for _, s in second)
+    assert table.snapshot().version == v
+    # offset lineage landed in the commit summaries
+    ranges = [
+        s.summary["lineage"].get("offset_ranges")
+        for s in table.history()
+        if s.summary.get("batch_id", "").startswith("kafka-")
+    ]
+    assert any(ranges) and all(r is not None for r in ranges)
