@@ -76,6 +76,7 @@ def merge_changes(
     post_dedup_transform=None,
     join_strategy: str = "auto",
     broadcast_threshold_bytes: int = 64 * 1024 * 1024,
+    redo_attempts: int = 8,
 ) -> MergeResult:
     """Apply a batch of change events to the table, exactly once.
 
@@ -185,7 +186,7 @@ def merge_changes(
         strategy = _pick_join_strategy(
             src, join_strategy, broadcast_threshold_bytes, tgt_rows
         )
-        for attempt in range(5):
+        for attempt in range(redo_attempts):
             try:
                 return _merge_prepared(
                     table, src, touched, base, rec, final_schema, batch_id, op_col,
@@ -193,13 +194,20 @@ def merge_changes(
                     max_records_per_file, join_strategy=strategy,
                 )
             except CommitConflict:
-                if attempt == 4:
+                if attempt == redo_attempts - 1:
                     raise
-                # a concurrent commit rewrote one of OUR buckets: the join we
-                # executed is stale — redo the whole merge against the new
-                # snapshot (the persisted source makes the redo cheap; the
-                # orphaned first-attempt files are vacuum's job, exactly like
-                # any failed commit)
+                # a concurrent commit rewrote one of OUR buckets with NEW
+                # logical content: the join we executed is stale — redo the
+                # whole merge against the new snapshot (the persisted source
+                # makes the redo cheap; the orphaned first-attempt files are
+                # vacuum's job, exactly like any failed commit).  Jittered
+                # backoff prevents starvation against a high-frequency
+                # concurrent writer (each redo takes longer than a commit,
+                # so without backoff a busy peer can win every race).
+                import random as _random
+                import time as _time
+
+                _time.sleep(_random.uniform(0, 0.2 * (2 ** min(attempt, 4))))
                 base = table.snapshot()
         raise AssertionError("unreachable")
     finally:
@@ -383,6 +391,33 @@ def _pick_join_strategy(
     return "broadcast"
 
 
+def _conflicts_are_compaction_only(table, base, newer, touched) -> bool:
+    """True when every commit in (base, newer] whose file changes touch any
+    of ``touched`` was a compaction.  Compaction folds delta files into base
+    files WITHOUT changing logical row content — the exact files a reader of
+    ``base`` already resolved — so a merge executed against ``base`` remains
+    valid and may rebase its rewrite on ``newer``.  (A ``drop_tombstones``
+    compaction is also safe: the rebased rewrite re-publishes tombstones the
+    compaction dropped, which is conservative — they only ever *block* stale
+    replays.)  Metadata-only: walks the snapshot file lists, no data IO."""
+    t = set(touched)
+    prev = base
+    for v in range(base.version + 1, newer.version + 1):
+        try:
+            s = table.snapshot(v)
+        except Exception:
+            return False
+        prev_paths = {f.path for f in prev.files}
+        cur_paths = {f.path for f in s.files}
+        changed = {f.bucket for f in s.files if f.path not in prev_paths} | {
+            f.bucket for f in prev.files if f.path not in cur_paths
+        }
+        if changed & t and s.summary.get("operation") != "compact":
+            return False
+        prev = s
+    return True
+
+
 def _merge_prepared(
     table, src, touched, base, rec, final_schema, batch_id, op_col,
     ts_col, tiebreak, update_mode, lineage, collect_metrics,
@@ -492,8 +527,18 @@ def _merge_prepared(
                 return MergeResult(snapshot=None, skipped=True,
                                    metrics={"reason": "batch_committed"})
             if files_of(newer, touched) != files_of(base, touched):
-                # the concurrent commit rewrote one of OUR buckets: the join
-                # we executed is stale — the caller must redo the merge
+                if _conflicts_are_compaction_only(table, base, newer, touched):
+                    # every intervening commit that touched OUR buckets was a
+                    # compaction — a logical no-op fold of the very files our
+                    # scan read, so the executed resolution is still valid:
+                    # rebase instead of redoing the merge.  Without this a
+                    # frequently-compacting concurrent MoR writer starves a
+                    # CoW writer (every redo loses the next race too).
+                    base = newer
+                    continue
+                # the concurrent commit added NEW logical content to one of
+                # OUR buckets: the join we executed is stale — the caller
+                # must redo the merge
                 raise
             # disjoint buckets: rebase the commit, no data rewrite needed
             base = newer

@@ -119,3 +119,38 @@ def test_cow_changelog_survives_rebase(spark, tmp_path, monkeypatch):
     by_batch = {r["_batch_id"]: r["url"] for r in ch.collect()}
     assert by_batch.get("me") == k_mine, ch.collect()
     assert by_batch.get("intruder") == k_other
+
+
+def test_cow_conflict_with_compaction_only_rebases(spark, tmp_path, monkeypatch):
+    """A compaction is a logical no-op fold of files the merge already
+    read: losing the race to one must REBASE (one resolution pass), not
+    redo the merge — a frequently-compacting MoR peer must not starve a
+    CoW writer (observed live in the cross-process soak)."""
+    t = make(spark, tmp_path)
+    merge_changes(t, spark.createDataFrame([ev("k", 1, "v1")], CHANGE),
+                  batch_id="seed", mode="mor", auto_compact=False)
+    other = LakeTable(spark, t.root)
+    orig = _LT.write_files
+    state = {"fired": False, "calls": 0}
+
+    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base"):
+        state["calls"] += 1
+        files = orig(self, df, version_hint, max_records_per_file, kind)
+        if not state["fired"]:
+            state["fired"] = True
+            from geomesa_nifi_spark.lake import compact
+
+            compact(other)  # folds k's delta into a base file
+        return files
+
+    monkeypatch.setattr(_LT, "write_files", patched)
+    r = merge_changes(t, spark.createDataFrame([ev("k", 10, "mine")], CHANGE),
+                      batch_id="me", mode="cow")
+    assert not r.skipped
+    final = {x.url: x.text for x in t.scan().collect()}
+    assert final == {"k": "mine"}
+    ops = [s.summary.get("operation") for s in t.history()]
+    assert "compact" in ops and "merge" in ops
+    # exactly 2 write_files calls: our one resolution + the compaction's —
+    # a redo would have produced a third
+    assert state["calls"] == 2

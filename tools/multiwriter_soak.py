@@ -63,6 +63,10 @@ def _writer(argv: list[str]) -> None:
         kw = {"mode": mode}
         if mode == "mor":
             kw["auto_compact"] = True
+            # stretch the MoR writer's schedule across the CoW writer's
+            # JVM-warmup lag so the two genuinely interleave (the race is
+            # the point of this harness)
+            time.sleep(1.5)
         r = merge_changes(table, batch, batch_id=f"mw-{b}", collect_metrics=False, **kw)
         done += 1
         print(f"WRITER {name} batch {b} v{r.snapshot.version if r.snapshot else '-'}",
@@ -103,15 +107,19 @@ def main() -> None:
         subprocess.Popen(
             [sys.executable, here, "--writer", changes_dir, table_root,
              name, mode, str(n_batches), str(parity)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for name, mode, parity in (("A", "mor", 0), ("B", "cow", 1))
     ]
     for p in procs:
-        out, _ = p.communicate(timeout=1200)
+        out, err = p.communicate(timeout=1200)
         sys.stdout.write(out)
         if p.returncode != 0:
-            print(f"FAIL: writer exited {p.returncode}")
+            tail = "\n".join(
+                ln for ln in err.splitlines()
+                if "WARN" not in ln and not ln.startswith("[Stage")
+            )[-3000:]
+            print(f"FAIL: writer exited {p.returncode}\n{tail}")
             sys.exit(1)
     elapsed = time.monotonic() - t0
 
