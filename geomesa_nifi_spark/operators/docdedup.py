@@ -43,6 +43,27 @@ def shingles_col(tokens, n: int):
     )
 
 
+def bucket_pair_structs(ids):
+    """Ordered in-bucket pair expansion for LSH candidate generation:
+    ``array<struct(a, b)>`` with ``a < b`` from an array of keys (or of
+    structs whose FIRST field is the ordering key — struct comparison is
+    lexicographic by field order).  Used after a
+    ``groupBy(bucket).agg(collect_set(...))`` so the expensive signature
+    subtree is computed ONCE — the classic banding self-join evaluates it
+    once per join side (measured ~2x of several operators' cost)."""
+    return F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda a: F.transform(
+                    ids, lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group by normalized-content fingerprint; keep the smallest id as the
     canonical representative (deterministic)."""
@@ -164,23 +185,12 @@ def minhash_lsh_pairs(
     # subtree and one shuffle.  The classic self-join spelling reads
     # `banded` twice, which re-runs the whole tokenize+shingle+signature
     # computation per side (measured: it doubled the operator's cost).
-    pair_structs = lambda ids: F.filter(  # noqa: E731
-        F.flatten(
-            F.transform(
-                ids,
-                lambda a: F.transform(
-                    ids, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
-    )
     cands = (
         banded.groupBy("band", "band_hash")
         .agg(F.collect_set("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs(F.col("ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select(F.explode(bucket_pair_structs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     if not verify:
@@ -291,20 +301,9 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
         .agg(F.collect_set(F.struct("doc_id", "simhash")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda a: F.transform(
-                    F.col("ids"), lambda b: F.struct(a.alias("a"), b.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
-    )
     dist = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        buckets.select(F.explode(bucket_pair_structs(F.col("ids"))).alias("p"))
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
