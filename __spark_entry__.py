@@ -380,6 +380,42 @@ FROM lww WHERE rn = 1 AND op <> 'delete'
 """
 
 
+
+def _update_by_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UpdateGeoMesaRecord`` ATTRIBUTE lookup (``AttributeFilter``,
+    ``UpdateGeoMesaRecord.scala:248-259``): one update row per lookup value
+    overwrites the provided columns on EVERY stored row sharing that value;
+    the batch rides the stored rows' LWW keys advanced by one tiebreak."""
+    from geomesa_nifi_spark.lake.merge import update_by_attribute
+
+    table = _replay_table(spark, sf_dir, [0, 1, 2, 3], cache=False)
+    updates = (
+        _events(spark, sf_dir)
+        .select("event_type")
+        .distinct()
+        .filter(F.substring(F.md5("event_type"), 1, 1) < "8")
+        .withColumn("value", F.lit(-2.0))
+    )
+    update_by_attribute(table, updates, lookup_col="event_type", batch_id="entry-uba")
+    return _final_state(table)
+
+
+_UPDATE_BY_ATTR_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url, epoch_us(warc_ts) AS warc_us,
+       CASE WHEN substring(md5(event_type), 1, 1) < '8'
+            THEN src_offset + 1 ELSE src_offset END AS src_offset,
+       event_type,
+       CASE WHEN substring(md5(event_type), 1, 1) < '8'
+            THEN -2.0 ELSE value END AS value
+FROM lww WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog egress (store -> records, ``GetGeoMesaKafkaRecord``): the
     change events of exactly one committed batch, read back from the lake's
@@ -1032,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _time_travel,
         "cdc_point_lookup": _point_lookup,
         "cdc_update_partial": _update_partial,
+        "cdc_update_by_attr": _update_by_attr,
         "cdc_changelog": _changelog_read,
         "cdc_visibility": _visibility_filter,
         "events_windowed_activity": _events_windowed_activity,
@@ -1071,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _TIME_TRAVEL_SQL,
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "cdc_update_partial": _UPDATE_PARTIAL_SQL,
+        "cdc_update_by_attr": _UPDATE_BY_ATTR_SQL,
         "cdc_changelog": _CHANGELOG_SQL,
         "cdc_visibility": _VISIBILITY_SQL,
         "avro_roundtrip": _AVRO_ROUNDTRIP_SQL,

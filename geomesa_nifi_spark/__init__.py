@@ -27,6 +27,7 @@ from geomesa_nifi_spark.lake import (  # noqa: F401
     compact,
     merge_changes,
     rewrite_fids,
+    update_by_attribute,
 )
 from geomesa_nifi_spark.session import get_spark  # noqa: F401
 

@@ -16,5 +16,6 @@ from geomesa_nifi_spark.lake.merge import (  # noqa: F401
     compact,
     merge_changes,
     rewrite_fids,
+    update_by_attribute,
 )
 from geomesa_nifi_spark.lake.table import BUCKET_COL, LakeTable  # noqa: F401

@@ -665,6 +665,72 @@ def rewrite_fids(
     return result
 
 
+def update_by_attribute(
+    table: LakeTable,
+    updates: DataFrame,
+    lookup_col: str,
+    batch_id: str | None = None,
+    lineage: dict | None = None,
+) -> MergeResult:
+    """``UpdateGeoMesaRecord`` with a non-id lookup column
+    (``UpdateGeoMesaRecord.scala:248-259`` ``AttributeFilter``; ``:172-183``
+    updates ALL matching rows): each update row addresses EVERY stored row
+    whose ``lookup_col`` equals its value; only the provided columns
+    overwrite; no insert fallback — unmatched lookup values are counted as
+    failures (``:168-170``).
+
+    Composed on the engine's partial-update merge: matched stored keys are
+    resolved by one equi-join (attribute lookups have no bucket pruning —
+    the reference runs a full attribute query too, ``:154-166``), and the
+    update batch carries each stored row's LWW order keys advanced by one
+    tiebreak so it dominates the stored state.  Rows with the same lookup
+    value all receive the same update (set semantics); if ``updates``
+    carries duplicate lookup values the winner among them is unspecified,
+    exactly like the reference's iteration order.
+    """
+    key = table.key_col
+    ts_col = table.ts_col
+    tiebreak = table.tiebreak_col
+    data_cols = [c for c in updates.columns if c != lookup_col]
+    if not data_cols:
+        raise ValueError("updates must provide at least one non-lookup column")
+    for reserved in (key, ts_col, tiebreak):
+        if reserved and reserved in data_cols:
+            raise ValueError(
+                f"updates may not overwrite the key/LWW column {reserved!r}"
+            )
+    cur = table.scan()
+    m = updates.select(
+        F.col(lookup_col).alias("_lk"),
+        *[F.col(c).alias(f"_u_{c}") for c in data_cols],
+    )
+    n_lookups = m.select("_lk").distinct().count()
+    matched = cur.join(m, cur[lookup_col] == F.col("_lk"), "inner")
+    batch = matched.select(
+        F.col(key),
+        F.col(ts_col),
+        *([(F.col(tiebreak) + F.lit(1)).alias(tiebreak)] if tiebreak else []),
+        *[F.col(f"_u_{c}").alias(c) for c in data_cols],
+    )
+    obs = Observation("update-by-attr")
+    batch = batch.observe(obs, F.count(F.lit(1)).alias("matched_rows"))
+    result = merge_changes(
+        table,
+        batch,
+        batch_id=batch_id,
+        update_mode="partial",
+        lineage={**(lineage or {}), "operation": "update_by_attribute",
+                 "lookup_col": lookup_col},
+    )
+    if result.skipped and result.metrics.get("reason") == "batch_committed":
+        return result
+    n_matched = int(obs.get.get("matched_rows") or 0)
+    # row-level accounting, like the reference's per-record counters
+    result.metrics["attr_update_rows"] = n_matched
+    result.metrics["attr_lookup_values"] = n_lookups
+    return result
+
+
 def _resolve(
     src: DataFrame,
     tgt: DataFrame,

@@ -524,3 +524,42 @@ def test_auto_strategy_requires_target_much_bigger(spark):
     # empty target (first batch): nothing to save by broadcasting
     assert _pick_join_strategy(src, "auto", mb64, tgt_rows=0) == "full_outer"
     src.unpersist()
+
+
+def test_update_by_attribute(spark, table):
+    """UpdateGeoMesaRecord attribute lookup (AttributeFilter,
+    UpdateGeoMesaRecord.scala:248-259): one update row hits ALL stored rows
+    sharing the lookup value; provided columns overwrite; unmatched lookup
+    values are failures, not inserts."""
+    from geomesa_nifi_spark.lake.merge import update_by_attribute
+
+    merge_changes(
+        table,
+        spark.createDataFrame(
+            [ev("a", 1, "en"), ev("b", 2, "en"), ev("c", 3, "de")], CHANGE
+        ),
+        batch_id="seed",
+    )
+    updates = spark.createDataFrame([("en", "REDACTED"), ("xx", "NOPE")],
+                                    "text string, lang string")
+    # lookup on the text column, overwrite lang
+    r = update_by_attribute(table, updates, lookup_col="text", batch_id="uba")
+    state = {x["url"]: (x["text"], x["lang"]) for x in table.scan().collect()}
+    assert state == {
+        "a": ("en", "REDACTED"),
+        "b": ("en", "REDACTED"),
+        "c": ("de", "en"),  # untouched row keeps its original lang
+    }
+    assert r.metrics["attr_update_rows"] == 2
+    assert r.metrics["attr_lookup_values"] == 2
+    # replay is exactly-once
+    r2 = update_by_attribute(table, updates, lookup_col="text", batch_id="uba")
+    assert r2.skipped
+
+
+def test_update_by_attribute_rejects_lww_columns(spark, table):
+    from geomesa_nifi_spark.lake.merge import update_by_attribute
+
+    bad = spark.createDataFrame([("en", ts(9))], "text string, warc_ts timestamp")
+    with pytest.raises(ValueError, match="key/LWW"):
+        update_by_attribute(table, bad, lookup_col="text")
