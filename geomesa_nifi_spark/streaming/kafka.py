@@ -114,28 +114,70 @@ KAFKA_RECORD_SCHEMA = (
 )
 
 
-def kafka_records_to_changes(df, value_schema, include_lineage: bool = True):
+def kafka_records_to_changes(
+    df, value_schema, include_lineage: bool = True, value_format: str = "json"
+):
     """Decode Kafka records into typed change events — the per-record
     conversion the reference applies with its RecordReader
     (``GetGeoMesaKafkaRecord.scala:271-302``), source-agnostic: works on the
     real Kafka source's output or any frame with the same columns.
 
-    ``value`` is parsed as JSON against ``value_schema`` (the engine's
-    converter layer handles csv/xml/avro payloads upstream when needed);
-    the Kafka coordinates ride along as ``_kafka_partition`` /
+    ``value_format="json"``: ``value`` parses as JSON against
+    ``value_schema`` (JVM ``from_json``, codegen).
+    ``value_format="avro"``: each ``value`` is a self-describing Avro
+    object-container (the reference's GeoAvro-over-Kafka shape,
+    ``GeoAvroRecordSetWriterFactory``), decoded with the engine's own codec
+    and conformed to ``value_schema`` by name — one message may carry many
+    records.
+
+    The Kafka coordinates ride along as ``_kafka_partition`` /
     ``_kafka_offset`` lineage columns so per-partition offset ranges land
     in the commit lineage."""
     from pyspark.sql import functions as F
 
-    out = df.select(
-        F.from_json(F.col("value").cast("string"), value_schema).alias("r"),
-        F.col("partition").alias("_kafka_partition"),
-        F.col("offset").alias("_kafka_offset"),
-    )
-    cols = ["r.*"]
+    if value_format == "json":
+        out = df.select(
+            F.from_json(F.col("value").cast("string"), value_schema).alias("r"),
+            F.col("partition").alias("_kafka_partition"),
+            F.col("offset").alias("_kafka_offset"),
+        )
+        cols = ["r.*"]
+        if include_lineage:
+            cols += ["_kafka_partition", "_kafka_offset"]
+        return out.select(*cols)
+    if value_format != "avro":
+        raise KafkaConfigError(f"value_format must be json|avro, got {value_format!r}")
+
+    from pyspark.sql import types as T
+
+    out_fields = list(value_schema.fields)
     if include_lineage:
-        cols += ["_kafka_partition", "_kafka_offset"]
-    return out.select(*cols)
+        out_fields += [
+            T.StructField("_kafka_partition", T.IntegerType()),
+            T.StructField("_kafka_offset", T.LongType()),
+        ]
+    out_schema = T.StructType(out_fields)
+    names = [f.name for f in value_schema.fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        from geomesa_nifi_spark.functions.avro import _decode_container
+
+        cols = [f.name for f in out_fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for v, p, o in zip(pdf["value"], pdf["partition"], pdf["offset"]):
+                _schema, recs = _decode_container(bytes(v))
+                for r in recs:
+                    row = {n: r.get(n) for n in names}
+                    if include_lineage:
+                        row["_kafka_partition"] = p
+                        row["_kafka_offset"] = o
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("value", "partition", "offset").mapInPandas(decode, out_schema)
 
 
 def read_kafka_stream(spark, config: dict):

@@ -135,3 +135,36 @@ def test_fake_kafka_source_end_to_end(spark, tmp_path):
         if s.summary.get("batch_id", "").startswith("kafka-")
     ]
     assert any(ranges) and all(r is not None for r in ranges)
+
+
+def test_fake_kafka_avro_values(spark, tmp_path):
+    """GeoAvro-over-Kafka: each message value is a self-describing Avro
+    container (possibly several records per message), decoded by the
+    engine's codec and conformed by name — the reference's record-reader
+    shape for its own Avro writer output."""
+    from geomesa_nifi_spark.functions.avro import _encode_container, spark_to_avro_schema  # noqa: F401
+
+    payload_rows = [
+        {"url": "u1", "warc_ts": dt.datetime(2024, 1, 1, 0, 0, 10),
+         "offset": 1, "text": "v1", "op": "upsert"},
+        {"url": "u2", "warc_ts": dt.datetime(2024, 1, 1, 0, 0, 11),
+         "offset": 2, "text": "w1", "op": "upsert"},
+    ]
+    container = _encode_container(VALUE_SCHEMA, payload_rows, codec="deflate")
+    kafka_rows = [(b"k", container, "pages", 0, 7, dt.datetime(2024, 1, 1), 0)]
+    df = spark.createDataFrame(kafka_rows, KAFKA_RECORD_SCHEMA)
+    out = kafka_records_to_changes(df, VALUE_SCHEMA, value_format="avro")
+    got = {r["url"]: r for r in out.collect()}
+    assert set(got) == {"u1", "u2"}
+    assert got["u1"]["text"] == "v1" and got["u1"]["_kafka_offset"] == 7
+    assert got["u2"]["warc_ts"] == dt.datetime(2024, 1, 1, 0, 0, 11)
+
+
+def test_kafka_value_format_validation(spark):
+    import pytest as _pytest
+
+    from geomesa_nifi_spark.streaming.kafka import KafkaConfigError
+
+    df = spark.createDataFrame([], KAFKA_RECORD_SCHEMA)
+    with _pytest.raises(KafkaConfigError, match="value_format"):
+        kafka_records_to_changes(df, VALUE_SCHEMA, value_format="csv")
