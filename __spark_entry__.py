@@ -416,6 +416,34 @@ FROM lww WHERE rn = 1 AND op <> 'delete'
 """
 
 
+
+def _append_only_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blind append writer (reference AppendWriter,
+    ``FeatureWriters.scala:104-106``): no key lookup, no dedup — appending
+    the same batch twice stores every row twice, exactly the reference's
+    append-mode contract (key uniqueness is the caller's problem)."""
+    from geomesa_nifi_spark.lake import LakeTable, append_only
+
+    ch = _changes(spark, sf_dir).filter(F.pmod(F.col("src_offset"), F.lit(4)) == 0)
+    root = tempfile.mkdtemp(prefix="gns_entry_append_") + "/pages"
+    table = LakeTable.create(
+        spark, root, _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset", num_buckets=16,
+    )
+    append_only(table, ch, batch_id="append-1")
+    append_only(table, ch, batch_id="append-2")
+    return _final_state(table)
+
+
+_APPEND_ONLY_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+b AS (SELECT * FROM ch WHERE src_offset % 4 = 0)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value FROM b
+UNION ALL
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value FROM b
+"""
+
+
 def _changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog egress (store -> records, ``GetGeoMesaKafkaRecord``): the
     change events of exactly one committed batch, read back from the lake's
@@ -1069,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": _point_lookup,
         "cdc_update_partial": _update_partial,
         "cdc_update_by_attr": _update_by_attr,
+        "cdc_append_only": _append_only_q,
         "cdc_changelog": _changelog_read,
         "cdc_visibility": _visibility_filter,
         "events_windowed_activity": _events_windowed_activity,
@@ -1109,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "cdc_update_partial": _UPDATE_PARTIAL_SQL,
         "cdc_update_by_attr": _UPDATE_BY_ATTR_SQL,
+        "cdc_append_only": _APPEND_ONLY_SQL,
         "cdc_changelog": _CHANGELOG_SQL,
         "cdc_visibility": _VISIBILITY_SQL,
         "avro_roundtrip": _AVRO_ROUNDTRIP_SQL,
