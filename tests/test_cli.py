@@ -71,3 +71,22 @@ def test_cli_sft_spec_schema(spark, tmp_path, capsys):
 
     t = LakeTable(spark, table)
     assert t.ts_col == "warc_ts"  # dtg inferred from the declared Date field
+
+
+def test_module_entry_subprocess(tmp_path):
+    """`python -m geomesa_nifi_spark` — the exact spark-submit surface —
+    wires to the CLI (subprocess, fresh interpreter)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    out = subprocess.run(
+        [sys.executable, "-m", "geomesa_nifi_spark", "create-table",
+         "--table", str(tmp_path / "m"), "--schema", "k string, v long",
+         "--key", "k"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["version"] == 0
