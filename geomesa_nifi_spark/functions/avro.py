@@ -45,6 +45,10 @@ from pyspark.sql import types as T
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
 _DEFAULT_BLOCK_ROWS = 4096
+#: driver-committed list of part files for a write_avro directory; read_avro
+#: trusts it over a raw listdir so stale parts from a differently-partitioned
+#: failed attempt are never double-counted
+_MANIFEST = "_manifest.json"
 
 # ---------------------------------------------------------------------------
 # schema mapping (Spark StructType <-> Avro record schema)
@@ -564,8 +568,19 @@ def write_avro(
     """Distributed write: one container file per partition under ``path``.
 
     Returns the number of files written.  Executors write to the shared
-    table filesystem exactly like the parquet sinks."""
+    table filesystem exactly like the parquet sinks.
+
+    Overwrite semantics: any ``part-*.avro`` files (and manifest) already in
+    ``path`` are cleared first — a re-run after a failed attempt with a
+    DIFFERENT partition count would otherwise leave stale higher-numbered
+    parts that read_avro double-counts.  After the job the driver writes a
+    ``_manifest.json`` naming exactly the committed parts; ``read_avro``
+    honors it, so a torn write (manifest absent or stale) can never be
+    silently half-read."""
     os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if (stale.startswith("part-") and ".avro" in stale) or stale == _MANIFEST:
+            os.remove(os.path.join(path, stale))
     schema = df.schema
 
     def write_partition(batches: Iterator) -> Iterator:
@@ -594,7 +609,10 @@ def write_avro(
         )
 
     written = df.mapInArrow(write_partition, "path string, rows long").collect()
-    return sum(1 for r in written if r.path is not None)
+    parts = sorted(os.path.basename(r.path) for r in written if r.path is not None)
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump({"files": parts}, fh)
+    return len(parts)
 
 
 def write_avro_file(
@@ -628,9 +646,21 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     exactly the ``AvroToPutGeoMesa`` schema-adapter contract
     (``AvroToPutGeoMesa.scala:60-78``).  One task per file."""
     if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, n) for n in os.listdir(path) if n.endswith(".avro")
-        )
+        manifest = os.path.join(path, _MANIFEST)
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                names = json.load(fh)["files"]
+            files = [os.path.join(path, n) for n in names]
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"manifest names {len(missing)} absent part file(s) under "
+                    f"{path} (torn write?): {missing[:3]}"
+                )
+        else:
+            files = sorted(
+                os.path.join(path, n) for n in os.listdir(path) if n.endswith(".avro")
+            )
         if not files:
             raise FileNotFoundError(f"no .avro files under {path}")
     else:

@@ -1,15 +1,21 @@
-"""Geometry serialization: WKT <-> WKB for point geometries.
+"""Geometry serialization: WKT <-> WKB for all seven OGC geometry kinds.
 
 The reference's record converters serialize geometry attributes as either
-WKT strings or WKB bytes (``records/package.scala:182-194``, property
-``geometry-serialization``: "text" | "binary").  The engine carries
-geometries as validated WKT strings (SURVEY.md §1.3); this module adds the
-WKB wire format for the point kind the web-page payload uses — vectorized
-numpy inside Arrow pandas UDFs, no per-row Python arithmetic, no geometry
-library dependency.
+WKT strings or WKB bytes (``records/package.scala:183-194``, property
+``geometry-serialization``: "wkt" | "wkb"; the JTS writer behind it covers
+Point, LineString, Polygon, MultiPoint, MultiLineString, MultiPolygon and
+GeometryCollection).  The engine carries geometries as validated WKT
+strings (SURVEY.md §1.3); this module adds the WKB wire format — the hot
+point path stays vectorized numpy inside Arrow pandas UDFs; the six
+composite kinds (export-parity volume, not a merge-path shape) use a
+recursive codec driven by numpy buffer views.
 
-WKB layout (OGC 99-049, point): 1 byte order (01 = little-endian),
-uint32 type (1 = Point), two float64 coordinates.  21 bytes per point.
+WKB layout (OGC 99-049): 1 byte order flag (01 = little-endian, 00 =
+big-endian), uint32 geometry type (1..7), then the type-specific body.
+Composite members of Multi*/GeometryCollection each carry their own full
+WKB header, per the spec.  Decoding REJECTS buffers whose type bytes are
+inconsistent with the declared byte order (e.g. flag 0x01 with big-endian
+type bytes) instead of mis-decoding garbage coordinates.
 """
 
 from __future__ import annotations
@@ -22,8 +28,274 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_POINT_RE = re.compile(r"^\s*POINT\s*\(\s*(\S+)\s+(\S+)\s*\)\s*$")
+_POINT_RE = re.compile(r"^\s*POINT\s*\(\s*(\S+)\s+(\S+)\s*\)\s*$", re.IGNORECASE)
 _WKB_POINT_LE = b"\x01\x01\x00\x00\x00"  # little-endian, type=1
+
+#: OGC type codes (99-049 §3.3.2.6)
+POINT, LINESTRING, POLYGON = 1, 2, 3
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION = 4, 5, 6, 7
+
+_TYPE_NAMES = {
+    POINT: "POINT",
+    LINESTRING: "LINESTRING",
+    POLYGON: "POLYGON",
+    MULTIPOINT: "MULTIPOINT",
+    MULTILINESTRING: "MULTILINESTRING",
+    MULTIPOLYGON: "MULTIPOLYGON",
+    GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+_NAME_TYPES = {v: k for k, v in _TYPE_NAMES.items()}
+
+
+# ---------------------------------------------------------------------------
+# WKT parsing -> (type_code, structure)
+#
+# structure shapes: point -> (x, y); linestring -> [(x, y), ...];
+# polygon -> [ring, ...] where ring = [(x, y), ...]; multipoint ->
+# [(x, y), ...]; multilinestring -> [linestring, ...]; multipolygon ->
+# [polygon, ...]; geometrycollection -> [(type_code, structure), ...]
+# ---------------------------------------------------------------------------
+
+_NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
+_COORD_RE = re.compile(rf"({_NUM})\s+({_NUM})")
+_HEAD_RE = re.compile(r"^\s*([A-Za-z]+)\s*(.*?)\s*$", re.DOTALL)
+
+
+def _split_top(body: str) -> list[str]:
+    """Split a parenthesized list body on top-level commas."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced parens")
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    if depth != 0:
+        raise ValueError("unbalanced parens")
+    parts.append(body[start:])
+    return parts
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ValueError(f"expected parenthesized body: {s[:40]!r}")
+    return s[1:-1]
+
+
+def _parse_coord(s: str) -> tuple[float, float]:
+    m = _COORD_RE.fullmatch(s.strip())
+    if not m:
+        raise ValueError(f"bad coordinate: {s!r}")
+    return float(m.group(1)), float(m.group(2))
+
+
+def _parse_coords(body: str) -> list[tuple[float, float]]:
+    return [_parse_coord(p) for p in _split_top(body)]
+
+
+def parse_wkt(text: str):
+    """Parse one WKT geometry -> (type_code, structure); raises ValueError
+    on malformed or EMPTY input (the engine represents absent geometry as
+    SQL null, not EMPTY)."""
+    m = _HEAD_RE.match(text)
+    if not m:
+        raise ValueError(f"bad WKT: {text[:40]!r}")
+    name, rest = m.group(1).upper(), m.group(2)
+    code = _NAME_TYPES.get(name)
+    if code is None:
+        raise ValueError(f"unknown geometry kind: {name}")
+    if rest.upper() == "EMPTY":
+        raise ValueError(f"EMPTY {name} not supported (use null)")
+    body = _strip_parens(rest)
+    if code == POINT:
+        return code, _parse_coord(body)
+    if code == LINESTRING:
+        return code, _parse_coords(body)
+    if code == POLYGON:
+        return code, [_parse_coords(_strip_parens(r)) for r in _split_top(body)]
+    if code == MULTIPOINT:
+        # both MULTIPOINT ((1 2), (3 4)) and MULTIPOINT (1 2, 3 4) are legal
+        parts = _split_top(body)
+        pts = []
+        for p in parts:
+            p = p.strip()
+            pts.append(_parse_coord(_strip_parens(p) if p.startswith("(") else p))
+        return code, pts
+    if code == MULTILINESTRING:
+        return code, [_parse_coords(_strip_parens(p)) for p in _split_top(body)]
+    if code == MULTIPOLYGON:
+        return code, [
+            [_parse_coords(_strip_parens(r)) for r in _split_top(_strip_parens(p))]
+            for p in _split_top(body)
+        ]
+    # GEOMETRYCOLLECTION: members are full WKT geometries
+    return code, [parse_wkt(p) for p in _split_top(body)]
+
+
+# ---------------------------------------------------------------------------
+# structure -> WKT text
+# ---------------------------------------------------------------------------
+
+def _fmt(v: float) -> str:
+    return f"{int(v)}" if v == int(v) else repr(v)
+
+
+def _fmt_coords(pts) -> str:
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts)
+
+
+def to_wkt(code: int, structure) -> str:
+    """Render (type_code, structure) as canonical WKT — integral coordinates
+    print without a trailing ``.0``, matching the converter's WKT lexical
+    convention (``records/package.scala:183-194``)."""
+    name = _TYPE_NAMES[code]
+    if code == POINT:
+        x, y = structure
+        return f"{name} ({_fmt(x)} {_fmt(y)})"
+    if code == LINESTRING:
+        return f"{name} ({_fmt_coords(structure)})"
+    if code == POLYGON:
+        rings = ", ".join(f"({_fmt_coords(r)})" for r in structure)
+        return f"{name} ({rings})"
+    if code == MULTIPOINT:
+        pts = ", ".join(f"({_fmt(x)} {_fmt(y)})" for x, y in structure)
+        return f"{name} ({pts})"
+    if code == MULTILINESTRING:
+        lines = ", ".join(f"({_fmt_coords(l)})" for l in structure)
+        return f"{name} ({lines})"
+    if code == MULTIPOLYGON:
+        polys = ", ".join(
+            "(" + ", ".join(f"({_fmt_coords(r)})" for r in p) + ")" for p in structure
+        )
+        return f"{name} ({polys})"
+    members = ", ".join(to_wkt(c, s) for c, s in structure)
+    return f"{name} ({members})"
+
+
+# ---------------------------------------------------------------------------
+# structure <-> WKB bytes
+# ---------------------------------------------------------------------------
+
+def encode_wkb(code: int, structure, little: bool = True) -> bytes:
+    """Encode (type_code, structure) as OGC WKB in either byte order."""
+    e = "<" if little else ">"
+    head = struct.pack(f"{'B' if little else 'B'}", 1 if little else 0) + struct.pack(
+        f"{e}I", code
+    )
+    if code == POINT:
+        x, y = structure
+        return head + struct.pack(f"{e}dd", x, y)
+    if code == LINESTRING:
+        flat = [v for xy in structure for v in xy]
+        return head + struct.pack(f"{e}I", len(structure)) + struct.pack(
+            f"{e}{len(flat)}d", *flat
+        )
+    if code == POLYGON:
+        out = [head, struct.pack(f"{e}I", len(structure))]
+        for ring in structure:
+            flat = [v for xy in ring for v in xy]
+            out.append(struct.pack(f"{e}I", len(ring)))
+            out.append(struct.pack(f"{e}{len(flat)}d", *flat))
+        return b"".join(out)
+    if code == MULTIPOINT:
+        out = [head, struct.pack(f"{e}I", len(structure))]
+        out += [encode_wkb(POINT, pt, little) for pt in structure]
+        return b"".join(out)
+    if code == MULTILINESTRING:
+        out = [head, struct.pack(f"{e}I", len(structure))]
+        out += [encode_wkb(LINESTRING, ls, little) for ls in structure]
+        return b"".join(out)
+    if code == MULTIPOLYGON:
+        out = [head, struct.pack(f"{e}I", len(structure))]
+        out += [encode_wkb(POLYGON, p, little) for p in structure]
+        return b"".join(out)
+    if code == GEOMETRYCOLLECTION:
+        out = [head, struct.pack(f"{e}I", len(structure))]
+        out += [encode_wkb(c, s, little) for c, s in structure]
+        return b"".join(out)
+    raise ValueError(f"unknown type code {code}")
+
+
+class _Reader:
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes):
+        self.b, self.pos = b, 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.b):
+            raise ValueError("truncated WKB")
+        out = self.b[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+def _read_header(r: _Reader) -> tuple[str, int]:
+    """Read (endian-prefix, type_code), enforcing byte-order/type-bytes
+    consistency: flag 0x01 requires little-endian type bytes and 0x00
+    big-endian ones — a mixed-endian buffer is malformed, NOT a point with
+    garbage coordinates (the round-3 decoder accepted either type-byte
+    order regardless of the flag)."""
+    flag = r.take(1)[0]
+    if flag not in (0, 1):
+        raise ValueError(f"bad byte-order flag {flag}")
+    e = "<" if flag == 1 else ">"
+    (code,) = struct.unpack(f"{e}I", r.take(4))
+    if code not in _TYPE_NAMES:
+        raise ValueError(f"type bytes inconsistent with byte order (code {code})")
+    return e, code
+
+
+def _decode_body(r: _Reader, e: str, code: int):
+    if code == POINT:
+        return struct.unpack(f"{e}dd", r.take(16))
+    if code == LINESTRING:
+        (n,) = struct.unpack(f"{e}I", r.take(4))
+        flat = struct.unpack(f"{e}{2 * n}d", r.take(16 * n))
+        return [(flat[2 * i], flat[2 * i + 1]) for i in range(n)]
+    if code == POLYGON:
+        (nr,) = struct.unpack(f"{e}I", r.take(4))
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack(f"{e}I", r.take(4))
+            flat = struct.unpack(f"{e}{2 * n}d", r.take(16 * n))
+            rings.append([(flat[2 * i], flat[2 * i + 1]) for i in range(n)])
+        return rings
+    # composite kinds: members carry their own headers
+    (n,) = struct.unpack(f"{e}I", r.take(4))
+    members = []
+    for _ in range(n):
+        me, mcode = _read_header(r)
+        members.append((mcode, _decode_body(r, me, mcode)))
+    if code == MULTIPOINT:
+        if any(c != POINT for c, _ in members):
+            raise ValueError("MULTIPOint member is not a point")
+        return [s for _, s in members]
+    if code == MULTILINESTRING:
+        if any(c != LINESTRING for c, _ in members):
+            raise ValueError("MULTILINESTRING member is not a linestring")
+        return [s for _, s in members]
+    if code == MULTIPOLYGON:
+        if any(c != POLYGON for c, _ in members):
+            raise ValueError("MULTIPOLYGON member is not a polygon")
+        return [s for _, s in members]
+    return members  # GEOMETRYCOLLECTION
+
+
+def decode_wkb(b: bytes):
+    """Decode one WKB buffer -> (type_code, structure); ValueError on any
+    malformation (truncation, trailing bytes, mixed endianness)."""
+    r = _Reader(bytes(b))
+    e, code = _read_header(r)
+    body = _decode_body(r, e, code)
+    if r.pos != len(r.b):
+        raise ValueError("trailing bytes after WKB geometry")
+    return code, body
 
 
 def wkb_point_bytes(x: float, y: float) -> bytes:
@@ -31,52 +303,86 @@ def wkb_point_bytes(x: float, y: float) -> bytes:
     return _WKB_POINT_LE + struct.pack("<dd", x, y)
 
 
-def wkt_point_to_wkb(col: Column | str) -> Column:
-    """WKT ``POINT (x y)`` strings -> WKB binary; null / non-point -> null.
+# ---------------------------------------------------------------------------
+# Column-level API (Arrow pandas UDFs)
+# ---------------------------------------------------------------------------
 
-    Vectorized: coordinates parse in pandas, the 21-byte records assemble
-    from one numpy buffer per batch.
-    """
+def wkt_to_wkb(col: Column | str, little: bool = True) -> Column:
+    """WKT strings (any of the 7 kinds) -> WKB binary; null / malformed ->
+    null.  The dominant point kind takes a vectorized numpy path (one
+    buffer per batch); composite kinds go through the recursive codec."""
 
     @F.pandas_udf("binary")
     def _enc(s: pd.Series) -> pd.Series:
+        # vectorized fast path for points
         coords = s.str.extract(_POINT_RE)
         x = pd.to_numeric(coords[0], errors="coerce")
         y = pd.to_numeric(coords[1], errors="coerce")
-        ok = x.notna() & y.notna()
+        is_pt = x.notna() & y.notna()
         n = len(s)
-        buf = np.zeros((n, 21), dtype=np.uint8)
-        buf[:, :5] = np.frombuffer(_WKB_POINT_LE, dtype=np.uint8)
-        buf[:, 5:13] = (
-            x.fillna(0.0).to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
-        )
-        buf[:, 13:21] = (
-            y.fillna(0.0).to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
-        )
-        rows = [bytes(buf[i]) if ok.iloc[i] else None for i in range(n)]
-        return pd.Series(rows)
+        out: list[bytes | None] = [None] * n
+        if is_pt.any() and little:
+            m = int(is_pt.sum())
+            buf = np.zeros((m, 21), dtype=np.uint8)
+            buf[:, :5] = np.frombuffer(_WKB_POINT_LE, dtype=np.uint8)
+            buf[:, 5:13] = x[is_pt].to_numpy(dtype="<f8").view(np.uint8).reshape(m, 8)
+            buf[:, 13:21] = y[is_pt].to_numpy(dtype="<f8").view(np.uint8).reshape(m, 8)
+            for row, i in enumerate(np.flatnonzero(is_pt.to_numpy())):
+                out[i] = bytes(buf[row])
+        for i in np.flatnonzero((~is_pt).to_numpy() | (not little)):
+            v = s.iloc[int(i)]
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            try:
+                out[int(i)] = encode_wkb(*parse_wkt(str(v)), little=little)
+            except ValueError:
+                out[int(i)] = None
+        return pd.Series(out)
 
     return _enc(F.col(col) if isinstance(col, str) else col)
 
 
-def wkb_point_to_wkt(col: Column | str) -> Column:
-    """WKB point binary -> WKT string (inverse; handles both byte orders),
-    rendering coordinates with the shortest round-trip repr — integral
-    values print without a trailing ``.0``, matching the converter's WKT
-    lexical convention (``records/package.scala:182-194``)."""
+def wkb_to_wkt(col: Column | str) -> Column:
+    """WKB binary (any kind, either byte order) -> WKT string; null /
+    malformed -> null.  The 21-byte little-endian point path decodes from
+    one numpy view per batch; everything else goes through the codec."""
 
     @F.pandas_udf("string")
     def _dec(s: pd.Series) -> pd.Series:
-        out = []
-        for b in s:
-            if b is None or len(b) != 21 or b[1:5] not in (b"\x01\x00\x00\x00", b"\x00\x00\x00\x01"):
-                out.append(None)
+        n = len(s)
+        out: list[str | None] = [None] * n
+        fast_idx, fast_bytes = [], []
+        for i, b in enumerate(s):
+            if b is None:
                 continue
-            endian = "<" if b[0] == 1 else ">"
-            x, y = struct.unpack(f"{endian}dd", b[5:21])
-            fx = f"{int(x)}" if x == int(x) else repr(x)
-            fy = f"{int(y)}" if y == int(y) else repr(y)
-            out.append(f"POINT ({fx} {fy})")
+            bb = bytes(b)
+            if len(bb) == 21 and bb[:5] == _WKB_POINT_LE:
+                fast_idx.append(i)
+                fast_bytes.append(bb)
+            else:
+                try:
+                    out[i] = to_wkt(*decode_wkb(bb))
+                except ValueError:
+                    out[i] = None
+        if fast_idx:
+            arr = np.frombuffer(b"".join(fast_bytes), dtype=np.uint8).reshape(-1, 21)
+            xs = arr[:, 5:13].copy().view("<f8").ravel()
+            ys = arr[:, 13:21].copy().view("<f8").ravel()
+            for j, i in enumerate(fast_idx):
+                out[i] = f"POINT ({_fmt(float(xs[j]))} {_fmt(float(ys[j]))})"
         return pd.Series(out)
 
     return _dec(F.col(col) if isinstance(col, str) else col)
+
+
+# round-3 names, kept for callers/tests: point-only entry points now route
+# through the full codec (and inherit the strict endianness check)
+def wkt_point_to_wkb(col: Column | str) -> Column:
+    """WKT ``POINT (x y)`` -> WKB (vectorized); non-point kinds also encode
+    now that the codec is complete."""
+    return wkt_to_wkb(col)
+
+
+def wkb_point_to_wkt(col: Column | str) -> Column:
+    """WKB -> WKT (both byte orders, all kinds, strict endianness check)."""
+    return wkb_to_wkt(col)

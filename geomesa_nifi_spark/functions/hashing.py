@@ -122,10 +122,31 @@ def murmur3_128_hex(data: list[bytes], seed: int = COMMONS_CODEC_DEFAULT_SEED) -
     return [f"{int(a):016x}{int(b):016x}" for a, b in zip(h1, h2)]
 
 
+#: java.util.Date.toString pattern ("Wed May 06 00:00:00 UTC 2015") — the
+#: rendering the reference's Scala ``attr.toString`` produces for the common
+#: Date-typed dtg attribute (``GetGeoMesaKafkaRecord.scala:468`` string-joins
+#: attribute *objects*, so Date attrs go through java.util.Date.toString).
+JAVA_DATE_TOSTRING_PATTERN = "EEE MMM dd HH:mm:ss zzz yyyy"
+
+
+def java_date_string(col: Column | str) -> Column:
+    """Render a timestamp/date column exactly as Scala ``Date.toString``
+    would (JVM default TZ = the Spark session TZ), for fid parity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c.cast("timestamp"), JAVA_DATE_TOSTRING_PATTERN)
+
+
 def murmur3_fid(id_col: Column | str, *attr_cols: Column | str) -> Column:
     """Byte-identical reference fid: murmur3-128 over
     ``id + ":" + attr...`` with Scala's toString null rendering
-    (``GetGeoMesaKafkaRecord.scala:458-476``)."""
+    (``GetGeoMesaKafkaRecord.scala:458-476``).
+
+    Parity caveat: pass temporal attributes through :func:`java_date_string`
+    (or use :func:`murmur3_fid_df`, which does it from the schema) — Spark's
+    cast-to-string renders ``2015-05-06 00:00:00`` where Scala's
+    ``Date.toString`` renders ``Wed May 06 00:00:00 UTC 2015``, and the raw
+    cast would diverge from the reference's fids.
+    """
     parts = [
         F.coalesce(
             (F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("null")
@@ -139,6 +160,22 @@ def murmur3_fid(id_col: Column | str, *attr_cols: Column | str) -> Column:
         return pd.Series(murmur3_128_hex([v.encode("utf-8") for v in s]))
 
     return _mm3(joined)
+
+
+def murmur3_fid_df(df: DataFrame, id_col: str, *attr_cols: str) -> Column:
+    """Schema-aware :func:`murmur3_fid`: timestamp/date attributes are
+    rendered with java.util.Date.toString formatting (the reference's
+    ``attr.toString``), everything else with cast-to-string."""
+    temporal = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz", "date")
+    }
+    cols = [
+        java_date_string(c) if c in temporal else F.col(c)
+        for c in (id_col, *attr_cols)
+    ]
+    return murmur3_fid(*cols)
 
 
 def fid_hash(*cols: Column | str, algo: str = "md5") -> Column:

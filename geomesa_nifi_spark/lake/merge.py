@@ -571,21 +571,36 @@ def append_only(
         ]
     ).withColumn(BUCKET_COL, table.bucket_expr())
     new_files = table.write_files(out, base.version + 1, max_records_per_file)
-    snap = table.ledger.commit(
-        Snapshot(
-            version=base.version + 1,
-            schema_json=base.schema_json,
-            files=base.files + new_files,
-            properties=dict(base.properties),
-            summary={
-                "operation": "append",
-                "batch_id": str(batch_id) if batch_id is not None else None,
-                "rows_written": sum(f.rows for f in new_files),
-                "lineage": lineage or {},
-            },
-            parent_version=base.version,
-        )
-    )
+    # A blind append is content-independent of the base snapshot, so a lost
+    # commit race is trivially rebasable: re-read the latest snapshot and
+    # re-commit the SAME already-written files on top of it (no data rewrite,
+    # no orphan part files — unlike a naive caller-level retry).
+    snap = None
+    for _attempt in range(10):
+        try:
+            snap = table.ledger.commit(
+                Snapshot(
+                    version=base.version + 1,
+                    schema_json=base.schema_json,
+                    files=base.files + new_files,
+                    properties=dict(base.properties),
+                    summary={
+                        "operation": "append",
+                        "batch_id": str(batch_id) if batch_id is not None else None,
+                        "rows_written": sum(f.rows for f in new_files),
+                        "lineage": lineage or {},
+                    },
+                    parent_version=base.version,
+                )
+            )
+            break
+        except CommitConflict:
+            base = table.snapshot()
+            if batch_id is not None and str(batch_id) in table.committed_batch_ids():
+                return MergeResult(snapshot=None, skipped=True,
+                                   metrics={"reason": "batch_committed"})
+    if snap is None:
+        raise CommitConflict("append: lost the commit race 10 times")
     return MergeResult(snapshot=snap, metrics={"appended": sum(f.rows for f in new_files)})
 
 

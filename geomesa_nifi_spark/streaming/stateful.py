@@ -132,7 +132,19 @@ def lww_state_stream(
                 # test_late_loser_rearms_tombstone_timeout — but the
                 # re-arm makes the TTL contract independent of that detail)
                 if s_deleted:
-                    state.setTimeoutTimestamp(int(s_ts) // 1000 + tombstone_ttl_ms)
+                    # Clamp to just past the current watermark: re-arming at
+                    # a deadline the watermark has already crossed raises
+                    # INVALID_TIMEOUT_TIMESTAMP, which would wedge the
+                    # stream on restart-replay.  pyspark 4.1.2 filters
+                    # late rows before this operator (probe-verified), so
+                    # today a loser can only arrive with ts >= watermark and
+                    # the deadline is still ahead — the clamp keeps the
+                    # re-arm contract safe if that pre-filter ever changes
+                    # (its presence is version-dependent, not documented
+                    # API).
+                    deadline = int(s_ts) // 1000 + tombstone_ttl_ms
+                    wm = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(max(deadline, wm + 1))
                 return
             prior_live = not s_deleted
         else:

@@ -99,6 +99,32 @@ def test_distributed_write_one_file_per_partition(spark, tmp_path):
     assert back.agg(F.sum("id")).collect()[0][0] == 499500
 
 
+def test_rewrite_clears_stale_parts_and_manifest_bounds_read(spark, tmp_path):
+    """A re-run with FEWER partitions must not leave the first attempt's
+    higher-numbered part files behind for read_avro to double-count: the
+    writer clears matching parts up front and commits a driver-side
+    manifest that read_avro trusts over a raw directory listing."""
+    import json as _json
+    import os
+
+    out = str(tmp_path / "rerun")
+    write_avro(spark.range(100).repartition(4), out)
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 4
+    # second write into the same dir with fewer partitions
+    n = write_avro(spark.range(10).repartition(2), out)
+    assert n == 2
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 2
+    back = read_avro(spark, out)
+    assert back.count() == 10  # no double-count from stale parts
+
+    # manifest contract: a part the manifest names but the fs lost -> loud
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        names = _json.load(fh)["files"]
+    os.remove(os.path.join(out, names[0]))
+    with pytest.raises(FileNotFoundError):
+        read_avro(spark, out)
+
+
 def test_by_name_schema_adaptation(spark, tmp_path):
     """Files missing a column are null-padded by name — the
     AvroToPutGeoMesa schema-adapter contract (AvroToPutGeoMesa.scala:60-78)."""

@@ -154,3 +154,47 @@ def test_cow_conflict_with_compaction_only_rebases(spark, tmp_path, monkeypatch)
     # exactly 2 write_files calls: our one resolution + the compaction's —
     # a redo would have produced a third
     assert state["calls"] == 2
+
+
+def test_append_only_rebases_past_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A blind append is content-independent of the base snapshot: losing
+    the commit race must rebase onto the newer snapshot, reusing the
+    already-written files (no redo, no orphan parts), not raise."""
+    from geomesa_nifi_spark.lake import append_only
+
+    t = make(spark, tmp_path)
+    _inject_commit_between(monkeypatch, t, spark, [ev("other", 99, "x")])
+    r = append_only(t, spark.createDataFrame([ev("mine", 1, "v")], CHANGE).drop("op"),
+                    batch_id="me")
+    assert not r.skipped and r.metrics.get("appended") == 1
+    bids = [s.summary.get("batch_id") for s in t.history()]
+    assert "intruder" in bids and "me" in bids
+    assert {x.url for x in t.scan().collect()} == {"other", "mine"}
+    # the rebased commit reused its files: nothing orphaned for vacuum
+    assert t.vacuum() == []
+
+
+def test_append_only_conflict_idempotent_skip(spark, tmp_path, monkeypatch):
+    """If the conflicting commit turns out to BE our batch (a concurrent
+    duplicate replay), the retry loop skips instead of double-appending."""
+    from geomesa_nifi_spark.lake import append_only
+
+    t = make(spark, tmp_path)
+    other = LakeTable(spark, t.root)
+    orig = _LT.write_files
+    state = {"fired": False}
+
+    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base"):
+        files = orig(self, df, version_hint, max_records_per_file, kind)
+        if not state["fired"]:
+            state["fired"] = True
+            append_only(other,
+                        spark.createDataFrame([ev("dup", 1, "v")], CHANGE).drop("op"),
+                        batch_id="me")
+        return files
+
+    monkeypatch.setattr(_LT, "write_files", patched)
+    r = append_only(t, spark.createDataFrame([ev("dup", 1, "v")], CHANGE).drop("op"),
+                    batch_id="me")
+    assert r.skipped and r.metrics.get("reason") == "batch_committed"
+    assert [x.url for x in t.scan().collect()] == ["dup"]  # appended exactly once

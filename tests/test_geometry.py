@@ -1,17 +1,37 @@
-"""WKT <-> WKB point serialization (records/package.scala:182-194,
-geometry-serialization text|binary)."""
+"""WKT <-> WKB serialization, all seven OGC kinds (records/package.scala:
+183-194, geometry-serialization wkt|wkb; fixture geometries mirror
+GeoAvroRecordSetWriterFactoryTest.scala:44-77)."""
 
 from __future__ import annotations
 
 import struct
 
-from pyspark.sql import functions as F
+import pytest
 
 from geomesa_nifi_spark.functions.geometry import (
+    decode_wkb,
+    encode_wkb,
+    parse_wkt,
+    to_wkt,
     wkb_point_bytes,
     wkb_point_to_wkt,
+    wkb_to_wkt,
     wkt_point_to_wkb,
+    wkt_to_wkb,
 )
+
+# the reference's own all-kinds fixture set (GeoAvroRecordSetWriterFactoryTest
+# .scala:45-50), plus a GeometryCollection (JTS writes it; the fixture just
+# doesn't exercise it)
+ALL_KINDS = [
+    "POINT (0 0)",
+    "LINESTRING (0 0, 1 1, 4 4)",
+    "POLYGON ((10 10, 10 20, 20 20, 20 10, 10 10), (11 11, 19 11, 19 19, 11 19, 11 11))",
+    "MULTIPOINT ((0 0), (1 1))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((10 10, 10 20, 20 20, 20 10, 10 10), (11 11, 19 11, 19 19, 11 19, 11 11)))",
+    "GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (0 0, 1 1))",
+]
 
 
 def test_wkb_bytes_layout():
@@ -21,12 +41,46 @@ def test_wkb_bytes_layout():
     assert struct.unpack("<dd", b[5:21]) == (-100.2365, 23.0)
 
 
+@pytest.mark.parametrize("wkt", ALL_KINDS)
+@pytest.mark.parametrize("little", [True, False])
+def test_codec_roundtrip_all_kinds(wkt, little):
+    code, s = parse_wkt(wkt)
+    back = decode_wkb(encode_wkb(code, s, little=little))
+    assert to_wkt(*back) == wkt
+
+
+def test_parse_rejects_malformed():
+    for bad in ["POINT (1)", "CIRCLE (0 0)", "POINT EMPTY", "POLYGON ((0 0, 1 1)"]:
+        with pytest.raises(ValueError):
+            parse_wkt(bad)
+
+
+def test_mixed_endianness_rejected():
+    # byte-order flag 0x01 (LE) but big-endian type bytes 00 00 00 01: the
+    # declared type is 0x01000000 — malformed, must NOT decode as a point
+    bad = b"\x01" + b"\x00\x00\x00\x01" + struct.pack("<dd", 1.0, 2.0)
+    with pytest.raises(ValueError):
+        decode_wkb(bad)
+    # and the mirror case: flag 0x00 (BE) with little-endian type bytes
+    bad2 = b"\x00" + b"\x01\x00\x00\x00" + struct.pack(">dd", 1.0, 2.0)
+    with pytest.raises(ValueError):
+        decode_wkb(bad2)
+
+
+def test_truncated_and_trailing_rejected():
+    good = encode_wkb(*parse_wkt("LINESTRING (0 0, 1 1)"))
+    with pytest.raises(ValueError):
+        decode_wkb(good[:-1])
+    with pytest.raises(ValueError):
+        decode_wkb(good + b"\x00")
+
+
 def test_wkt_wkb_roundtrip(spark):
-    df = spark.createDataFrame(
-        [("a", "POINT (-100.2365 23)"), ("b", "POINT (3 -62.23)"),
-         ("c", None), ("d", "LINESTRING (0 0, 1 1)")],
-        "k string, wkt string",
-    )
+    rows_in = [("a", "POINT (-100.2365 23)"), ("b", "POINT (3 -62.23)"),
+               ("c", None)] + [
+        (f"g{i}", w) for i, w in enumerate(ALL_KINDS)
+    ] + [("bad", "CIRCLE (0 0)")]
+    df = spark.createDataFrame(rows_in, "k string, wkt string")
     out = df.select(
         "k", "wkt",
         wkt_point_to_wkb("wkt").alias("wkb"),
@@ -36,13 +90,28 @@ def test_wkt_wkb_roundtrip(spark):
     assert rows["a"]["back"] == "POINT (-100.2365 23)"
     assert rows["b"]["back"] == "POINT (3 -62.23)"
     assert rows["c"]["wkb"] is None and rows["c"]["back"] is None
-    assert rows["d"]["wkb"] is None  # non-point: null, not garbage
+    assert rows["bad"]["wkb"] is None  # malformed: null, not garbage
+    for i, w in enumerate(ALL_KINDS):
+        assert rows[f"g{i}"]["back"] == w
+
+
+def test_wkt_wkb_roundtrip_big_endian(spark):
+    df = spark.createDataFrame([(w,) for w in ALL_KINDS], "wkt string")
+    out = df.select(
+        "wkt", wkb_to_wkt(wkt_to_wkb("wkt", little=False)).alias("back")
+    ).collect()
+    for r in out:
+        assert r["back"] == r["wkt"]
 
 
 def test_wkb_big_endian_decodes(spark):
-    import struct as st
-
-    be = b"\x00" + st.pack(">I", 1) + st.pack(">dd", 1.5, 2.5)
+    be = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 1.5, 2.5)
     df = spark.createDataFrame([(bytearray(be),)], "wkb binary")
     r = df.select(wkb_point_to_wkt("wkb").alias("w")).first()
     assert r["w"] == "POINT (1.5 2.5)"
+
+
+def test_mixed_endianness_null_in_column(spark):
+    bad = b"\x01" + b"\x00\x00\x00\x01" + struct.pack("<dd", 1.0, 2.0)
+    df = spark.createDataFrame([(bytearray(bad),)], "wkb binary")
+    assert df.select(wkb_point_to_wkt("wkb").alias("w")).first()["w"] is None

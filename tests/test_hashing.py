@@ -69,6 +69,32 @@ def test_murmur3_fid_column(spark):
     assert rows["10002"] == murmur3_128_hex([b"10002:null:25"])[0]  # Scala toString(null)
 
 
+def test_murmur3_fid_df_date_parity(spark):
+    """Temporal attributes must render as java.util.Date.toString (the
+    reference string-joins attribute OBJECTS, GetGeoMesaKafkaRecord.scala:
+    468) — 'Wed May 06 00:00:00 UTC 2015', not Spark's cast-to-string.
+    Cross-checked against the JVM's own Date.toString."""
+    import datetime as dt
+
+    from geomesa_nifi_spark.functions.hashing import (
+        java_date_string,
+        murmur3_fid_df,
+    )
+
+    t = dt.datetime(2015, 5, 6, 0, 0, 0)
+    df = spark.createDataFrame([("10001", "Ada", t)],
+                               "id string, name string, dtg timestamp")
+    rendered = df.select(java_date_string("dtg").alias("s")).first()["s"]
+    # the exact library rendering the reference produces (JVM default TZ is
+    # pinned to the session TZ = UTC by session.py)
+    millis = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    jvm_str = spark._jvm.java.util.Date(millis).toString()
+    assert rendered == jvm_str == "Wed May 06 00:00:00 UTC 2015"
+
+    fid = df.select(murmur3_fid_df(df, "id", "name", "dtg").alias("f")).first()["f"]
+    assert fid == murmur3_128_hex([f"10001:Ada:{jvm_str}".encode()])[0]
+
+
 def test_fid_hash_murmur3_algo(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v int")
     r = df.select(fid_hash("k", "v", algo="murmur3").alias("f")).first()

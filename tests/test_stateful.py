@@ -177,3 +177,32 @@ def test_late_loser_rearms_tombstone_timeout(spark, tmp_path):
     # final state: only zz's live row — u1's tombstone was evicted despite
     # the late-loser invocation in between
     assert state_rows and state_rows[-1] == 1, state_rows
+
+
+def test_late_loser_after_ttl_deadline_does_not_crash(spark, tmp_path):
+    """A deep-late loser arriving after the watermark crossed the
+    tombstone's ts+ttl deadline must not crash or resurrect anything.
+    (pyspark 4.1.2 filters sub-watermark rows before the operator, so the
+    row never reaches the UDF here; the re-arm clamp in stateful.py guards
+    the INVALID_TIMEOUT_TIMESTAMP path should that version-dependent
+    pre-filter ever change.)  This pins the end-to-end behavior: the query
+    completes and the loser emits nothing."""
+    rows = _run_stream(
+        spark,
+        tmp_path,
+        [
+            [("u1", ts(50), 1, None, "delete")],  # tombstone, deadline ts(60)
+            [("zz", ts(1000), 2, "advance", "upsert")],  # watermark -> ts(1000)
+            # late loser hits the tombstone with deadline far behind the
+            # watermark: without the clamp this batch crashes the query
+            [("u1", ts(40), 3, "late", "upsert")],
+            [("zz", ts(1001), 4, "advance2", "upsert")],  # fires u1's timeout
+        ],
+        "lww_clamp",
+        ttl_ms=10_000,
+        watermark="0 seconds",
+    )
+    # the query completed (no INVALID_TIMEOUT_TIMESTAMP crash) and the late
+    # loser emitted nothing — a delete with no prior live row is silent
+    u1 = [r for r in rows if r["url"] == "u1"]
+    assert u1 == []
