@@ -417,6 +417,153 @@ FROM lww WHERE rn = 1 AND op <> 'delete'
 
 
 
+def _zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate scan through the ledger zone maps (lake/stats.py — the
+    engine's analogue of the reference store's attribute index,
+    ``UpdateGeoMesaRecord.scala:154-166``): files whose recorded min/max
+    excludes the predicate are never opened, and the residual filter makes
+    the result exact.  The oracle applies the same predicate to the LWW
+    state, so any pruning unsoundness (a file skipped that still held a
+    winning row) shows up as a hash mismatch."""
+    table = _replay_table(spark, sf_dir, [0, 1, 2, 3])
+    preds = [
+        ("url", "between", ("https://u.example.org/1", "https://u.example.org/4")),
+        ("value", ">=", 0.1),
+    ]
+    return table.scan(where=preds).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
+_ZONE_MAP_SCAN_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww
+WHERE rn = 1 AND op <> 'delete'
+  AND url BETWEEN 'https://u.example.org/1' AND 'https://u.example.org/4'
+  AND value >= 0.1
+"""
+
+
+def _stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous stateful LWW operator (``applyInPandasWithState``,
+    streaming/stateful.py — the engine's analogue of the reference's
+    long-lived Kafka feature cache, ``GetGeoMesaKafkaRecord.scala:
+    271-302``), driven end to end as a real Structured Streaming query:
+    the change stream replays in 4 micro-batches (src_offset mod 4, file
+    source + AvailableNow) with ``tombstone_ttl_ms=None`` (no watermark,
+    no late-row filtering), making the emitted changelog a deterministic
+    function of the batched input that DuckDB can recompute exactly."""
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from geomesa_nifi_spark.streaming.stateful import lww_state_stream
+
+    ch = _changes(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gns_stateful_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    for b in range(4):
+        batch_dir = os.path.join(tmp, f"b{b}")
+        ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b).coalesce(1).write.parquet(
+            batch_dir
+        )
+        part = glob.glob(os.path.join(batch_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"file-{b}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(batch_dir)
+        # the file source triggers in modification-time order; pin it
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    stream_schema = T.StructType(
+        list(_STATE_SCHEMA.fields) + [T.StructField("op", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = lww_state_stream(
+        stream,
+        key_col="url",
+        ts_col="warc_ts",
+        tiebreak_col="src_offset",
+        op_col="op",
+        payload_cols=["event_type", "value"],
+        tombstone_ttl_ms=None,
+    )
+    name = f"gns_stateful_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "url",
+        F.col("ts_us").alias("warc_us"),
+        F.col("tiebreak").alias("src_offset"),
+        "change",
+        F.from_json("payload", "event_type string, value double").alias("_p"),
+    ).select(
+        "url", "warc_us", "src_offset", "change",
+        F.col("_p.event_type").alias("event_type"),
+        F.col("_p.value").alias("value"),
+    )
+
+
+# The changelog a batched LWW state machine emits: per key per batch, the
+# batch winner (greatest (ts, tiebreak)) transitions state iff it beats the
+# running maximum of earlier batches' winners; a winning delete emits only
+# when the prior state was live; a winning upsert emits insert-vs-update by
+# prior liveness.  (ts, tiebreak) totally orders as one HUGEINT since
+# src_offset < 2^32.
+_STATEFUL_LWW_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+b AS (
+  SELECT *, src_offset % 4 AS bno,
+         (epoch_us(warc_ts)::HUGEINT * 4294967296 + src_offset) AS ordv
+  FROM ch
+),
+w AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, bno ORDER BY warc_ts DESC, src_offset DESC) AS rn
+    FROM b
+  ) WHERE rn = 1
+),
+seq AS (
+  SELECT *,
+    max(ordv) OVER (PARTITION BY url ORDER BY bno
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ord,
+    arg_max(op, ordv) OVER (PARTITION BY url ORDER BY bno
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_op
+  FROM w
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset,
+       CASE WHEN op = 'delete' THEN 'delete'
+            WHEN prev_ord IS NOT NULL AND prev_op <> 'delete' THEN 'update'
+            ELSE 'insert' END AS change,
+       CASE WHEN op = 'delete' THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN op = 'delete' THEN NULL ELSE value END AS value
+FROM seq
+WHERE (prev_ord IS NULL OR ordv > prev_ord)
+  AND NOT (op = 'delete' AND (prev_ord IS NULL OR prev_op = 'delete'))
+"""
+
+
 def _append_only_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blind append writer (reference AppendWriter,
     ``FeatureWriters.scala:104-106``): no key lookup, no dedup — appending
@@ -1097,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": _point_lookup,
         "cdc_update_partial": _update_partial,
         "cdc_update_by_attr": _update_by_attr,
+        "cdc_zone_map_scan": _zone_map_scan,
+        "cdc_stateful_lww": _stateful_lww,
         "cdc_append_only": _append_only_q,
         "cdc_changelog": _changelog_read,
         "cdc_visibility": _visibility_filter,
@@ -1138,6 +1287,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "cdc_update_partial": _UPDATE_PARTIAL_SQL,
         "cdc_update_by_attr": _UPDATE_BY_ATTR_SQL,
+        "cdc_zone_map_scan": _ZONE_MAP_SCAN_SQL,
+        "cdc_stateful_lww": _STATEFUL_LWW_SQL,
         "cdc_append_only": _APPEND_ONLY_SQL,
         "cdc_changelog": _CHANGELOG_SQL,
         "cdc_visibility": _VISIBILITY_SQL,

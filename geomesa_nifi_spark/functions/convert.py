@@ -192,11 +192,7 @@ class _Parser:
             # partition-encoded values look nothing like line numbers)
             if self.line_no is not None:
                 return self.line_no()
-            from pyspark.sql import Window
-
-            return F.row_number().over(
-                Window.orderBy(F.monotonically_increasing_id())
-            ).cast("long")
+            return partition_line_no()
         # --- type-system breadth (SimpleFeatureRecordConverter.scala:387-528):
         # lists, maps, nested records and geometries as first-class transform
         # outputs, all JVM expressions (from_json / element_at / to_json).
@@ -240,6 +236,20 @@ class _Parser:
                 s,
             )
         raise ConverterError(f"unknown transform function {fn}()")
+
+
+def partition_line_no() -> Column:
+    """Per-partition 1-based row number — the lineNo() shape used when no
+    file metadata is available.  Numbers rows within each *input partition*
+    (the upper bits of the mono id), never a global ``Window.orderBy`` —
+    that would funnel the entire read through ONE task, silently
+    serializing a 100-TB ingest.  ``apply_converter``'s provider prefers
+    per-file numbering and falls back to this same shape."""
+    from pyspark.sql import Window
+
+    mono = F.monotonically_increasing_id()
+    w = Window.partitionBy(F.shiftrightunsigned(mono, 33)).orderBy(mono)
+    return F.row_number().over(w).cast("long")
 
 
 def compile_transform(expr: str, resolve_ref, line_no=None) -> Column:
@@ -320,7 +330,7 @@ def apply_converter(
             w = Window.partitionBy(F.col("_metadata.file_name")).orderBy(mono)
         except Exception:
             # mono id layout: (partition id << 33) | per-partition counter
-            w = Window.partitionBy(F.shiftrightunsigned(mono, 33)).orderBy(mono)
+            return partition_line_no()
         return F.row_number().over(w).cast("long")
 
     def resolve(ref: str) -> Column:

@@ -41,15 +41,23 @@ class DataFile:
     ``kind``: "base" files hold resolved state; "delta" files hold
     merge-on-read change rows (including tombstones) that readers reduce
     with last-writer-wins at scan time until compaction folds them in.
+
+    ``stats``: optional zone map — ``{col: {min, max, nulls, rows}}`` read
+    from the parquet footer at commit time (see ``lake/stats.py``); absent
+    on files written before the feature existed, which simply never prune.
     """
 
     path: str  # relative to the table root
     bucket: int  # hash-bucket of the key column this file holds
     rows: int
     kind: str = "base"
+    stats: dict[str, Any] | None = None
 
     def to_json(self) -> dict[str, Any]:
-        return {"path": self.path, "bucket": self.bucket, "rows": self.rows, "kind": self.kind}
+        out = {"path": self.path, "bucket": self.bucket, "rows": self.rows, "kind": self.kind}
+        if self.stats:
+            out["stats"] = self.stats
+        return out
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
@@ -58,6 +66,7 @@ class DataFile:
             bucket=int(d["bucket"]),
             rows=int(d["rows"]),
             kind=d.get("kind", "base"),
+            stats=d.get("stats"),
         )
 
 

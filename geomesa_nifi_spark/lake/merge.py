@@ -51,6 +51,10 @@ from geomesa_nifi_spark.operators.dedup import lww_dedup
 
 OP_COL_DEFAULT = "op"
 OP_DELETE = "delete"
+#: cap on the driver-side collect of distinct attribute-lookup values in
+#: update_by_attribute; beyond it the zone-map pruning is skipped (same
+#: guard shape as visibility's MAX_DISTINCT_LABELS)
+MAX_LOOKUP_VALUES = 10_000
 
 
 @dataclass
@@ -695,13 +699,21 @@ def update_by_attribute(
     failures (``:168-170``).
 
     Composed on the engine's partial-update merge: matched stored keys are
-    resolved by one equi-join (attribute lookups have no bucket pruning —
-    the reference runs a full attribute query too, ``:154-166``), and the
-    update batch carries each stored row's LWW order keys advanced by one
-    tiebreak so it dominates the stored state.  Rows with the same lookup
-    value all receive the same update (set semantics); if ``updates``
-    carries duplicate lookup values the winner among them is unspecified,
-    exactly like the reference's iteration order.
+    resolved by one equi-join, and the update batch carries each stored
+    row's LWW order keys advanced by one tiebreak so it dominates the
+    stored state.  Rows with the same lookup value all receive the same
+    update (set semantics); if ``updates`` carries duplicate lookup values
+    the winner among them is unspecified, exactly like the reference's
+    iteration order.
+
+    Scan shape: attribute lookups have no bucket pruning, but the ledger's
+    zone maps stand in for the reference's store-side attribute index
+    (``UpdateGeoMesaRecord.scala:154-166``) — the distinct lookup values
+    are collected driver-side (bounded, like the reference's in-memory
+    filter list) and only files whose recorded [min, max] for
+    ``lookup_col`` admits one of them are read.  Batches with more than
+    ``MAX_LOOKUP_VALUES`` distinct values fall back to the full scan
+    rather than collect unboundedly.
     """
     key = table.key_col
     ts_col = table.ts_col
@@ -714,12 +726,22 @@ def update_by_attribute(
             raise ValueError(
                 f"updates may not overwrite the key/LWW column {reserved!r}"
             )
-    cur = table.scan()
     m = updates.select(
         F.col(lookup_col).alias("_lk"),
         *[F.col(c).alias(f"_u_{c}") for c in data_cols],
     )
-    n_lookups = m.select("_lk").distinct().count()
+    # one bounded collect replaces the round-3 distinct().count() action:
+    # it yields n_lookups AND the zone-map pruning predicate
+    vals = [
+        r[0] for r in m.select("_lk").distinct().limit(MAX_LOOKUP_VALUES + 1).collect()
+    ]
+    n_lookups = len(vals)
+    if 0 < n_lookups <= MAX_LOOKUP_VALUES and all(v is not None for v in vals):
+        cur = table.scan(where=[(lookup_col, "in", vals)])
+    else:
+        cur = table.scan()
+        if n_lookups > MAX_LOOKUP_VALUES:
+            n_lookups = m.select("_lk").distinct().count()
     matched = cur.join(m, cur[lookup_col] == F.col("_lk"), "inner")
     batch = matched.select(
         F.col(key),

@@ -33,10 +33,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geomesa_nifi_spark.lake import stats as zone
 from geomesa_nifi_spark.lake.ledger import DataFile, Ledger, Snapshot
 
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"  # hidden tombstone flag; see merge.py
+
+#: Spark types whose parquet footer min/max we record as zone maps
+_STAT_TYPES = (
+    "string", "byte", "short", "integer", "long", "float", "double",
+    "boolean", "timestamp", "timestamp_ntz", "date", "decimal",
+)
 
 try:  # pyarrow is baked into the environment; used only for footer stats.
     import pyarrow.parquet as pq
@@ -162,14 +169,44 @@ class LakeTable:
 
     # -- reads ---------------------------------------------------------------
 
+    def candidate_files(
+        self,
+        where: list[tuple] | None = None,
+        version: int | None = None,
+        buckets: Iterable[int] | None = None,
+        snapshot: Snapshot | None = None,
+    ) -> list[DataFile]:
+        """The file list a scan with these constraints would read — bucket
+        pruning first, then zone-map pruning (``lake/stats.py``).  Exposed
+        so callers and tests can assert how much a predicate prunes."""
+        snap = snapshot or self.snapshot(version)
+        files = snap.files
+        if buckets is not None:
+            wanted = set(buckets)
+            files = [f for f in files if f.bucket in wanted]
+        if where:
+            files = zone.prune_files(files, where)
+        return files
+
     def scan(
         self,
         version: int | None = None,
         buckets: Iterable[int] | None = None,
         snapshot: Snapshot | None = None,
         include_tombstones: bool = False,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
-        """Read the table state, optionally pruned to a set of buckets.
+        """Read the table state, optionally pruned to a set of buckets
+        and/or by a predicate conjunction.
+
+        ``where`` is a list of ``(col, op, value)`` with op in
+        ``stats.OPS`` — e.g. ``[("lang", "=", "en")]`` or
+        ``[("warc_ts", "between", (t0, t1))]``.  The ledger's zone maps
+        skip files whose recorded min/max excludes the predicate (the
+        engine's analogue of the reference store's attribute index,
+        ``UpdateGeoMesaRecord.scala:154-166``); the same predicate is then
+        re-applied to the surviving rows, so pruning is purely an
+        optimization and the result is exact.
 
         Old files written before an additive schema evolution lack the new
         columns; reading with the snapshot's explicit schema null-pads them
@@ -184,19 +221,24 @@ class LakeTable:
         resolves last-writer-wins per key across base + deltas (map-side-
         combining ``max_by`` on the table's (ts, tiebreak) order) before
         returning — readers always see upsert semantics, whichever write
-        path produced the files.
+        path produced the files.  With a ``where`` predicate, delta-holding
+        buckets are pruned all-or-nothing so cross-file LWW resolution
+        stays correct (stats.py module docstring).
         """
         snap = snapshot or self.snapshot(version)
-        files = snap.files
-        if buckets is not None:
-            wanted = set(buckets)
-            files = [f for f in files if f.bucket in wanted]
+        files = self.candidate_files(
+            where=where, buckets=buckets, snapshot=snap
+        )
         df = self._read_files(snap, files)
         if any(f.kind == "delta" for f in files):
             df = self._resolve_lww(df)
-        if include_tombstones:
-            return df
-        return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        if not include_tombstones:
+            df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        if where:
+            # residual filter AFTER LWW resolution: the predicate selects
+            # among final rows, it must not hide a losing-row's newer winner
+            df = df.filter(zone.predicate_column(where))
+        return df
 
     def _read_files(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
@@ -231,8 +273,6 @@ class LakeTable:
         """
         if not keys:
             return self.scan(version=version).limit(0)
-        import pyspark.sql.functions as _F
-
         lit_df = self.spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField(self.key_col, T.StringType())])
         )
@@ -240,8 +280,13 @@ class LakeTable:
             r[0]
             for r in lit_df.select(self.bucket_expr().alias("b")).distinct().collect()
         )
-        df = self.scan(version=version, buckets=buckets)
-        return df.filter(_F.col(self.key_col).isin(list(keys)))
+        # zone maps prune files INSIDE the selected buckets (the write path
+        # sorts by key, so each overflow split covers a narrow key range);
+        # scan re-applies the isin as the residual filter
+        return self.scan(
+            version=version, buckets=buckets,
+            where=[(self.key_col, "in", list(keys))],
+        )
 
     def delta_stats(self, snapshot: Snapshot | None = None) -> dict[int, dict]:
         """Per-bucket {files, delta_files, delta_rows} — compaction input."""
@@ -276,18 +321,42 @@ class LakeTable:
         subdir = f"data/s{version_hint:010d}-{token}"
         out_dir = os.path.join(self.root, subdir)
         (
-            # sortWithinPartitions(key): parquet row-group min/max stats on
-            # the key become selective, so point lookups prune row groups
-            # inside a bucket, not just files across buckets
+            # sortWithinPartitions(bucket, key): the partitioned writer
+            # REQUIRES an ordering on the partition columns and inserts its
+            # own (non-stable) sort when missing — sorting by key alone is
+            # silently destroyed (observed: overlapping per-file key ranges).
+            # Leading with _bucket satisfies the writer's requirement, so the
+            # key order survives: each overflow split covers a narrow key
+            # range, making both parquet row-group stats and the ledger zone
+            # maps selective for point lookups.
             df.repartition(F.col(BUCKET_COL))
-            .sortWithinPartitions(F.col(self.key_col))
+            .sortWithinPartitions(F.col(BUCKET_COL), F.col(self.key_col))
             .write.option("maxRecordsPerFile", str(max_records_per_file))
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        return self._discover_files(subdir, kind)
+        return self._discover_files(subdir, kind, stat_columns=self._stat_columns(df))
 
-    def _discover_files(self, subdir: str, kind: str = "base") -> list[DataFile]:
+    def _stat_columns(self, df: DataFrame) -> set[str]:
+        """Columns whose footer min/max become ledger zone maps: every
+        comparable-typed top-level column (property ``stats.columns``, a
+        csv list, narrows it — useful at very wide schemas)."""
+        prop = self.snapshot().properties.get("stats.columns", "")
+        wanted = {c.strip() for c in prop.split(",") if c.strip()} or None
+        out = set()
+        for f in df.schema.fields:
+            if f.name == BUCKET_COL:
+                continue  # partition directory, not a file column
+            if not f.dataType.typeName().startswith(_STAT_TYPES):
+                continue
+            if wanted is not None and f.name not in wanted and f.name != DELETED_COL:
+                continue
+            out.add(f.name)
+        return out
+
+    def _discover_files(
+        self, subdir: str, kind: str = "base", stat_columns: set[str] | None = None
+    ) -> list[DataFile]:
         import concurrent.futures
 
         found: list[tuple[str, int, str]] = []  # (rel_path, bucket, full)
@@ -301,16 +370,21 @@ class LakeTable:
                     (os.path.join(rel_dir, name), _bucket_from_path(dirpath), os.path.join(dirpath, name))
                 )
 
-        def rows_of(full: str) -> int:
-            return pq.ParquetFile(full).metadata.num_rows if pq else -1
+        def footer_of(full: str) -> tuple[int, dict | None]:
+            if not pq:
+                return -1, None
+            rows = pq.ParquetFile(full).metadata.num_rows
+            # zone maps ride the same footer read (no extra job, no data IO)
+            st = zone.collect_file_stats(full, stat_columns) if stat_columns else None
+            return rows, st
 
         # Footer reads are per-file metadata IO — parallelize so a commit of
         # hundreds of bucket files doesn't serialize on the driver.
         with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
-            rows = list(pool.map(rows_of, [f[2] for f in found]))
+            footers = list(pool.map(footer_of, [f[2] for f in found]))
         return [
-            DataFile(path=rel, bucket=bucket, rows=r, kind=kind)
-            for (rel, bucket, _full), r in zip(found, rows)
+            DataFile(path=rel, bucket=bucket, rows=r, kind=kind, stats=st)
+            for (rel, bucket, _full), (r, st) in zip(found, footers)
         ]
 
     def commit_rewrite(

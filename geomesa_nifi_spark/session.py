@@ -74,6 +74,11 @@ def get_spark(
         # TIMESTAMP_NTZ — one timestamp type engine-wide (session TZ is UTC,
         # so the semantics are identical and DuckDB oracles hash-match).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT96 (the legacy default) carries NO parquet min/max statistics,
+        # which would blind the ledger zone maps on every timestamp column;
+        # TIMESTAMP_MICROS is the modern interoperable encoding and DuckDB /
+        # pyarrow read it identically.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")

@@ -125,13 +125,26 @@ def run_file_replay(
                 lineage["quarantined"] = 0
                 prepared = good
             else:
-                n_bad = bad.count()
-                if n_bad:
-                    (
-                        bad.withColumn("_quarantine_batch", F.lit(batch_id))
-                        .write.mode("overwrite")
-                        .parquet(f"{quarantine_dir}/batch={batch_id}")
-                    )
+                # ONE job: the count rides the quarantine write via observe
+                # (the round-3 shape ran a full count() and then a second
+                # pass to write).  A clean batch leaves an empty _SUCCESS
+                # directory, removed below so quarantine readers only ever
+                # see batch dirs with rows.
+                from pyspark.sql import Observation
+
+                q_obs = Observation(f"quarantine-{batch_id}")
+                q_dir = f"{quarantine_dir}/batch={batch_id}"
+                (
+                    bad.observe(q_obs, F.count(F.lit(1)).alias("n"))
+                    .withColumn("_quarantine_batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .parquet(q_dir)
+                )
+                n_bad = int(q_obs.get.get("n") or 0)
+                if n_bad == 0:
+                    import shutil
+
+                    shutil.rmtree(q_dir, ignore_errors=True)
                 lineage["quarantined"] = n_bad
                 prepared = good
         if write_mode == "append":

@@ -71,7 +71,7 @@ def lww_state_stream(
     tiebreak_col: str | None = "src_offset",
     op_col: str = "op",
     payload_cols: list[str] | None = None,
-    tombstone_ttl_ms: int = 3_600_000,
+    tombstone_ttl_ms: int | None = 3_600_000,
     watermark: str = "0 seconds",
 ) -> DataFrame:
     """Wire the stateful LWW operator onto a *streaming* DataFrame.
@@ -80,6 +80,13 @@ def lww_state_stream(
     payload-JSON).  ``changes`` must be a streaming DataFrame carrying
     ``key_col``, ``ts_col`` (timestamp), optionally ``tiebreak_col`` and
     ``op_col``; all other requested ``payload_cols`` ride along as JSON.
+
+    ``tombstone_ttl_ms=None`` keeps tombstones forever (NoTimeout, no
+    watermark): the same retention choice as ``compact(drop_tombstones=
+    False)``, and — because no watermark means no engine-side late-row
+    filtering — the mode where the changelog is a deterministic function
+    of the batched input alone, whatever the event-time disorder (the
+    driver-gate configuration).
     """
     if payload_cols is None:
         payload_cols = [
@@ -88,7 +95,9 @@ def lww_state_stream(
         ]
     out_schema = _output_schema(key_col)
 
-    prepared = changes.withWatermark(ts_col, watermark).select(
+    evict = tombstone_ttl_ms is not None
+    source = changes.withWatermark(ts_col, watermark) if evict else changes
+    prepared = source.select(
         F.col(key_col).cast("string").alias(key_col),
         # the watermarked attribute itself must survive into the stateful
         # operator's child plan or the analyzer rejects EventTimeTimeout
@@ -131,7 +140,7 @@ def lww_state_stream(
                 # state call is made — covered by
                 # test_late_loser_rearms_tombstone_timeout — but the
                 # re-arm makes the TTL contract independent of that detail)
-                if s_deleted:
+                if s_deleted and evict:
                     # Clamp to just past the current watermark: re-arming at
                     # a deadline the watermark has already crossed raises
                     # INVALID_TIMEOUT_TIMESTAMP, which would wedge the
@@ -155,7 +164,8 @@ def lww_state_stream(
         if is_delete:
             # event-time timeout at ts + ttl: fires once the watermark
             # passes it (GroupStateTimeout.EventTimeTimeout)
-            state.setTimeoutTimestamp(b_ts // 1000 + tombstone_ttl_ms)
+            if evict:
+                state.setTimeoutTimestamp(b_ts // 1000 + tombstone_ttl_ms)
             if prior_live:
                 yield pd.DataFrame(
                     [[key[0], b_ts, b_tb, "delete", None]],
@@ -175,7 +185,11 @@ def lww_state_stream(
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if evict
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -305,3 +305,19 @@ def test_line_no_fallback_is_per_partition_not_global(spark):
     # produce exactly one 1 and a max of 100
     assert lns.count(1) == 4
     assert max(lns) < 100
+
+
+def test_standalone_compile_transform_line_no_is_per_partition(spark):
+    """compile_transform WITHOUT a line_no provider (callers outside
+    apply_converter) must use the same per-partition fallback — round 3
+    still had the global Window.orderBy single-task funnel there."""
+    from geomesa_nifi_spark.functions.convert import compile_transform
+
+    df = spark.range(100).selectExpr("cast(id as string) as v").repartition(4)
+    col = compile_transform("lineNo()", lambda ref: F.col(ref))
+    out = df.select(F.col("v"), col.alias("ln"))
+    # plan shape: no single-partition global sort anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    lns = [r.ln for r in out.collect()]
+    assert lns.count(1) == 4 and max(lns) < 100

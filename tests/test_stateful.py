@@ -179,6 +179,31 @@ def test_late_loser_rearms_tombstone_timeout(spark, tmp_path):
     assert state_rows and state_rows[-1] == 1, state_rows
 
 
+def test_no_ttl_mode_is_batching_deterministic(spark, tmp_path):
+    """tombstone_ttl_ms=None: NoTimeout + no watermark — no engine-side
+    late-row filtering, tombstones kept forever.  A deep-late loser still
+    REACHES the operator and is rejected by state (not silently dropped
+    upstream), so the changelog is a pure function of the batched input."""
+    rows = _run_stream(
+        spark,
+        tmp_path,
+        [
+            [("u1", ts(50), 1, "v1", "upsert")],
+            [("zz", ts(10_000), 2, "far-future", "upsert")],
+            # 9950s late vs zz; under a watermark this row would be dropped
+            # before the operator — here it must arrive and lose to state
+            [("u1", ts(40), 3, "late", "upsert")],
+            [("u1", ts(60), 4, None, "delete")],
+            # loses to the retained tombstone (never evicted without TTL)
+            [("u1", ts(55), 5, "resurrect?", "upsert")],
+        ],
+        "lww_nottl",
+        ttl_ms=None,
+    )
+    u1 = sorted((r for r in rows if r["url"] == "u1"), key=lambda r: r["ts_us"])
+    assert [r["change"] for r in u1] == ["insert", "delete"]
+
+
 def test_late_loser_after_ttl_deadline_does_not_crash(spark, tmp_path):
     """A deep-late loser arriving after the watermark crossed the
     tombstone's ts+ttl deadline must not crash or resurrect anything.

@@ -199,6 +199,62 @@ def test_quarantine_routing(spark, tmp_path):
     assert spark.read.parquet(q).count() == 20
 
 
+def _job_count(spark) -> int:
+    """Cumulative Spark job count (AppStatusStore) — for asserting how many
+    jobs a code path launches."""
+    return spark._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_quarantine_is_single_job_per_batch(spark, tmp_path):
+    """The dead-letter count rides the quarantine write via observe() — one
+    job per batch for the whole quarantine path (the round-3 shape ran a
+    separate full count() first), and a CLEAN batch leaves no empty
+    batch dir behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "changes"
+    events = change_stream(spark, 100, n_keys=20, seed=17, payload="text")
+    corrupted = events.withColumn(
+        "url", F.when(F.pmod(F.col("offset"), F.lit(10)) == 0, None).otherwise(F.col("url"))
+    )
+    write_replay_files(corrupted.drop("html"), str(d), n_files=1)
+
+    t = make_table(spark, tmp_path)
+    q = str(tmp_path / "deadletter")
+    before = _job_count(spark)
+    run_file_replay(
+        spark, t, str(d), str(tmp_path / "ckpt"), pipeline_id="qj",
+        extract=False, quarantine_dir=q,
+    )
+    jobs_quarantined = _job_count(spark) - before
+
+    # identical single-batch replay with NO quarantine routing at all
+    t2 = make_table(spark, tmp_path, name="pages2")
+    clean_dir = tmp_path / "clean"
+    write_replay_files(events.drop("html").filter(F.col("url").isNotNull()),
+                       str(clean_dir), n_files=1)
+    before = _job_count(spark)
+    run_file_replay(
+        spark, t2, str(clean_dir), str(tmp_path / "ckpt2"), pipeline_id="qj2",
+        extract=False,
+    )
+    jobs_plain = _job_count(spark) - before
+    # the whole quarantine path (split + observed write) costs exactly ONE
+    # extra job over the no-quarantine pipeline
+    assert jobs_quarantined == jobs_plain + 1, (jobs_quarantined, jobs_plain)
+
+    # a clean batch through the quarantine path leaves no batch dir
+    t3 = make_table(spark, tmp_path, name="pages3")
+    run_file_replay(
+        spark, t3, str(clean_dir), str(tmp_path / "ckpt3"), pipeline_id="qj3",
+        extract=False, quarantine_dir=str(tmp_path / "dl3"),
+    )
+    dl3 = str(tmp_path / "dl3")
+    assert not os.path.isdir(dl3) or os.listdir(dl3) == []
+
+
 def test_append_mode_stream(spark, tmp_path, replay_dir):
     t = make_table(spark, tmp_path)
     stats = run_file_replay(
