@@ -418,8 +418,31 @@ def _make_decoder(dt: T.DataType, avro_t=None):
 
 
 def _make_nullable_decoder(dt: T.DataType, avro_t=None):
+    """Decoder for one field as the WRITER's schema dictates.
+
+    The engine's own writer makes every field a ``["null", T]`` union, but
+    a foreign spec-conformant file (e.g. the canonical Java implementation)
+    may declare non-union fields — those carry NO branch index, and a
+    union's branch order is the writer's choice (``[T, "null"]`` is just as
+    legal).  Decoding must follow the embedded schema, not assume our own
+    writing convention."""
     inner = _make_decoder(dt, avro_t)
 
+    if avro_t is not None and not isinstance(avro_t, list):
+        return inner  # non-union field: value only, no branch index
+
+    if isinstance(avro_t, list):
+        null_branches = {i for i, b in enumerate(avro_t) if b == "null"}
+
+        def dec(r: _Reader):
+            ix = r.long()
+            if ix in null_branches:
+                return None
+            return inner(r)
+
+        return dec
+
+    # no schema info: the engine's own ["null", T] convention
     def dec(r: _Reader):
         if r.long() == 0:
             return None

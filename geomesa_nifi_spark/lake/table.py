@@ -448,6 +448,37 @@ class LakeTable:
             removed.append(v)
         return removed
 
+    def gc_changelog(self, retention_versions: int | None = None) -> list[str]:
+        """Delete CoW changelog side files older than the retention horizon.
+
+        Changelog side files (``changelog.enabled`` tables) are referenced
+        only by commit summaries, so ``vacuum`` keeps them forever; this is
+        their explicit GC.  ``retention_versions`` (default: the table
+        property ``changelog.retention.versions``; 0/unset = keep all)
+        keeps the newest N commits' change rows and deletes older ones.
+        ``table_changes`` detects the deletion and raises
+        ``ChangelogRetentionError`` instead of returning a silently
+        incomplete changelog — the binlog-purged contract.
+        """
+        cur = self.snapshot()
+        if retention_versions is None:
+            retention_versions = int(
+                cur.properties.get("changelog.retention.versions", "0") or 0
+            )
+        if retention_versions <= 0:
+            return []
+        horizon = cur.version - retention_versions
+        removed: list[str] = []
+        for snap in self.ledger.snapshots():
+            if snap.version > horizon:
+                continue
+            for cf in snap.summary.get("changelog_files") or []:
+                full = os.path.join(self.root, cf["path"])
+                if os.path.exists(full):
+                    os.unlink(full)
+                    removed.append(cf["path"])
+        return removed
+
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by any snapshot (failed commits)."""
         referenced = set()

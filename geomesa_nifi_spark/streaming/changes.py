@@ -28,6 +28,16 @@ from pyspark.sql import types as T
 from geomesa_nifi_spark.lake.table import DELETED_COL, LakeTable
 
 
+class ChangelogRetentionError(RuntimeError):
+    """The requested change range reaches past the retention horizon.
+
+    Raised instead of returning a silently-incomplete changelog when (a)
+    ``expire_snapshots`` dropped ledger entries inside the range, or (b)
+    ``gc_changelog`` deleted a CoW commit's retained change files.  A CDC
+    consumer that fell behind must re-bootstrap from a full scan, exactly
+    like a binlog client whose server purged the logs it needed."""
+
+
 def table_changes(
     table: LakeTable,
     from_version: int = 0,
@@ -38,10 +48,24 @@ def table_changes(
     Output: the table's columns plus ``_change_type`` (insert_or_update |
     delete), ``_commit_version``, ``_batch_id``.  Ordered consumers sort by
     (_commit_version, ts).
+
+    Raises :class:`ChangelogRetentionError` (never silently truncates)
+    when part of the requested range has been retired by snapshot expiry
+    or changelog GC.
     """
     spark = table.spark
+    history = table.history()
+    oldest = min((s.version for s in history), default=0)
+    if from_version < oldest - 1:
+        # versions in (from_version, oldest) were expired from the ledger:
+        # the range can no longer be reproduced
+        raise ChangelogRetentionError(
+            f"changes from version {from_version} requested but the ledger's "
+            f"oldest retained snapshot is v{oldest} (expire_snapshots horizon); "
+            f"re-bootstrap from a full scan"
+        )
     snaps = [
-        s for s in table.history()
+        s for s in history
         if s.version > from_version and (to_version is None or s.version <= to_version)
     ]
     schema = table.schema()
@@ -59,9 +83,24 @@ def table_changes(
             paths = [os.path.join(table.root, f["path"]) for f in cl]
             if not paths:
                 continue
+            gone = [p for p in paths if not os.path.exists(p)]
+            if gone:
+                raise ChangelogRetentionError(
+                    f"commit v{snap.version} retained change rows but "
+                    f"{len(gone)} of its changelog files were garbage-"
+                    f"collected (changelog.retention.versions horizon); "
+                    f"re-bootstrap from a full scan"
+                )
         elif op in ("merge_mor", "append"):
-            parent_files = {f.path for f in table.snapshot(snap.parent_version).files} \
-                if snap.parent_version is not None else set()
+            try:
+                parent_files = {f.path for f in table.snapshot(snap.parent_version).files} \
+                    if snap.parent_version is not None else set()
+            except FileNotFoundError as exc:
+                raise ChangelogRetentionError(
+                    f"commit v{snap.version}'s parent snapshot "
+                    f"v{snap.parent_version} was expired; its change rows "
+                    f"cannot be reconstructed — re-bootstrap from a full scan"
+                ) from exc
             added = [f for f in snap.files if f.path not in parent_files]
             if not added:
                 continue

@@ -123,3 +123,69 @@ def test_cow_changelog_retention(spark, tmp_path):
     merge_changes(t2, spark.createDataFrame([ev("a", 1, "a1")], CHANGE), batch_id="1")
     assert table_changes(t2).count() == 0
     assert rewrite_commits(t2)
+
+
+def test_changelog_gc_retention_and_loud_failure(spark, tmp_path):
+    """changelog.retention.versions GC (table.gc_changelog): files past the
+    horizon are deleted, in-horizon reads still work, and reading a GC'd
+    range raises ChangelogRetentionError — never a silently-empty frame."""
+    import pytest
+
+    from geomesa_nifi_spark.streaming.changes import ChangelogRetentionError
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "gc"), SCHEMA, key_col="url",
+        ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+        properties={"changelog.enabled": "true",
+                    "changelog.retention.versions": "1"},
+    )
+    for i in range(3):
+        merge_changes(t, spark.createDataFrame([ev(f"k{i}", i + 1, f"v{i}")], CHANGE),
+                      batch_id=f"b{i}", mode="cow")
+    # all three commits readable before GC
+    assert table_changes(t).count() == 3
+
+    removed = t.gc_changelog()
+    assert removed  # commits v1..v(horizon) lost their side files
+
+    # in-horizon incremental read still works (newest retained commit)
+    cur = t.snapshot().version
+    inc = table_changes(t, from_version=cur - 1)
+    assert inc.count() == 1
+
+    # reaching past the horizon fails LOUDLY
+    with pytest.raises(ChangelogRetentionError):
+        table_changes(t).count()
+
+    # idempotent: nothing further to remove
+    assert t.gc_changelog() == []
+
+
+def test_expired_snapshot_range_fails_loudly(spark, tmp_path):
+    """expire_snapshots horizon: asking table_changes for versions the
+    ledger no longer holds raises instead of returning partial changes."""
+    import pytest
+
+    from geomesa_nifi_spark.streaming.changes import ChangelogRetentionError
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "exp"), SCHEMA, key_col="url",
+        ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+    )
+    for i in range(6):
+        merge_changes(t, spark.createDataFrame([ev(f"k{i}", i + 1, f"v{i}")], CHANGE),
+                      batch_id=f"b{i}", mode="mor", auto_compact=False)
+    t.expire_snapshots(keep_last=3)
+    with pytest.raises(ChangelogRetentionError):
+        table_changes(t)  # from_version=0 reaches past the expiry horizon
+    # the retained range still reads: snapshots v5, v6 need parent v4+
+    cur = t.snapshot().version
+    ok = table_changes(t, from_version=cur - 1).collect()
+    assert len(ok) == 1
+    # a range whose PARENT snapshot is gone also fails loudly, not with a
+    # raw FileNotFoundError — through a FRESH handle (the writer's own
+    # in-process snapshot cache would otherwise mask the expiry)
+    t2 = LakeTable(spark, t.root)
+    oldest = min(s.version for s in t2.history())
+    with pytest.raises(ChangelogRetentionError):
+        table_changes(t2, from_version=oldest - 1).count()
