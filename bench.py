@@ -67,6 +67,52 @@ def _materialize(spark, n_events: int, out_dir: str, payload: str) -> None:
     ch.drop("partition").write.mode("overwrite").parquet(out_dir)
 
 
+def _bench_kafka_avro_decode(spark, n_events: int, recs_per_msg: int = 500):
+    """GeoAvro-over-Kafka decode throughput (the one per-record Python hot
+    loop left on an ingest path — ``kafka.py``'s container decode).  Builds
+    n_events records packed into self-describing containers (the reference's
+    GeoAvro value shape), runs the contract decode over the standard Kafka
+    record columns, and returns (seconds, events/sec)."""
+    import datetime as dt
+
+    from geomesa_nifi_spark.functions.avro import _encode_container
+    from geomesa_nifi_spark.streaming.kafka import kafka_records_to_changes
+
+    msg_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    epoch = dt.datetime(2024, 1, 1)
+    msgs = []
+    for m in range(n_events // recs_per_msg):
+        base = m * recs_per_msg
+        rows = [
+            {
+                "url": f"https://p.example.org/{base + i}",
+                "warc_ts": epoch + dt.timedelta(seconds=base + i),
+                "offset": base + i,
+                "text": f"body text for record {base + i} " * 4,
+            }
+            for i in range(recs_per_msg)
+        ]
+        msgs.append((bytearray(_encode_container(msg_schema, rows)), m % 8, m))
+    df = spark.createDataFrame(msgs, "value binary, partition int, offset long").repartition(8)
+    df.persist().count()  # materialize input; time ONLY the decode
+
+    decoded = kafka_records_to_changes(df, msg_schema, value_format="avro")
+    decoded.select(F.count(F.lit(1))).collect()  # warm (codegen + workers)
+    t0 = time.monotonic()
+    n = decoded.select(F.count(F.lit(1))).collect()[0][0]
+    elapsed = time.monotonic() - t0
+    df.unpersist()
+    assert n == (n_events // recs_per_msg) * recs_per_msg
+    return elapsed, round(n / elapsed, 1)
+
+
 def _new_table(spark, root: str, compact_deltas: int | None = None):
     from geomesa_nifi_spark.lake import LakeTable
 
@@ -328,6 +374,18 @@ def main() -> None:
     ]:
         fn = entry.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).select(F.count(F.lit(1))).collect())
+
+    # GeoAvro-over-Kafka decode ceiling (round-3 verdict #5): a recorded
+    # events/sec number for the one per-record Python loop on an ingest path
+    n_kafka = int(os.environ.get("GNS_KAFKA_EVENTS", "200000"))
+    t_kafka, kafka_eps = _bench_kafka_avro_decode(spark, n_kafka)
+    queries["kafka_avro_decode"] = round(t_kafka, 3)
+    kafka_avro = {
+        "n_events": n_kafka,
+        "events_per_sec": kafka_eps,
+        "parallelism": cpus,
+        "shape": "self-describing container values, 500 records/message",
+    }
     spark.stop()
 
     # headline + scaling: full pipeline in fresh subprocesses.
@@ -412,6 +470,7 @@ def main() -> None:
             "cow_events_per_sec": round(n_events / t_cow, 1),
             "parallelism": cpus,
         },
+        "kafka_avro": kafka_avro,
         "scaling": scaling,
     }
     print(json.dumps(out))
