@@ -100,7 +100,8 @@ def _bench_kafka_avro_decode(spark, n_events: int, recs_per_msg: int = 500):
             for i in range(recs_per_msg)
         ]
         msgs.append((bytearray(_encode_container(msg_schema, rows)), m % 8, m))
-    df = spark.createDataFrame(msgs, "value binary, partition int, offset long").repartition(8)
+    par = spark.sparkContext.defaultParallelism
+    df = spark.createDataFrame(msgs, "value binary, partition int, offset long").repartition(par)
     df.persist().count()  # materialize input; time ONLY the decode
 
     decoded = kafka_records_to_changes(df, msg_schema, value_format="avro")

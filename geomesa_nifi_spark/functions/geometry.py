@@ -184,9 +184,7 @@ def to_wkt(code: int, structure) -> str:
 def encode_wkb(code: int, structure, little: bool = True) -> bytes:
     """Encode (type_code, structure) as OGC WKB in either byte order."""
     e = "<" if little else ">"
-    head = struct.pack(f"{'B' if little else 'B'}", 1 if little else 0) + struct.pack(
-        f"{e}I", code
-    )
+    head = bytes([1 if little else 0]) + struct.pack(f"{e}I", code)
     if code == POINT:
         x, y = structure
         return head + struct.pack(f"{e}dd", x, y)
@@ -274,7 +272,7 @@ def _decode_body(r: _Reader, e: str, code: int):
         members.append((mcode, _decode_body(r, me, mcode)))
     if code == MULTIPOINT:
         if any(c != POINT for c, _ in members):
-            raise ValueError("MULTIPOint member is not a point")
+            raise ValueError("MULTIPOINT member is not a point")
         return [s for _, s in members]
     if code == MULTILINESTRING:
         if any(c != LINESTRING for c, _ in members):

@@ -162,20 +162,26 @@ def kafka_records_to_changes(
     def decode(batches):
         import pandas as pd
 
-        from geomesa_nifi_spark.functions.avro import _decode_container
+        from geomesa_nifi_spark.functions.avro import _decode_container_columns
 
-        cols = [f.name for f in out_fields]
         for pdf in batches:
-            rows: list[dict] = []
+            # column-wise assembly: decoders append straight into per-column
+            # lists and ONE DataFrame is built per Arrow batch from the
+            # columns dict (pandas' fast constructor) — no per-record dicts
+            acc: dict[str, list] = {n: [] for n in names}
+            parts: list = []
+            offs: list = []
             for v, p, o in zip(pdf["value"], pdf["partition"], pdf["offset"]):
-                _schema, recs = _decode_container(bytes(v))
-                for r in recs:
-                    row = {n: r.get(n) for n in names}
-                    if include_lineage:
-                        row["_kafka_partition"] = p
-                        row["_kafka_offset"] = o
-                    rows.append(row)
-            yield pd.DataFrame(rows, columns=cols)
+                _schema, cols_msg, n_rows = _decode_container_columns(bytes(v))
+                for n in names:
+                    acc[n].extend(cols_msg.get(n) or [None] * n_rows)
+                if include_lineage:
+                    parts.extend([p] * n_rows)
+                    offs.extend([o] * n_rows)
+            if include_lineage:
+                acc["_kafka_partition"] = parts
+                acc["_kafka_offset"] = offs
+            yield pd.DataFrame(acc, columns=[f.name for f in out_fields])
 
     return df.select("value", "partition", "offset").mapInPandas(decode, out_schema)
 
