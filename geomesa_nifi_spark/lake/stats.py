@@ -45,6 +45,31 @@ _NUMERIC_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
 
 _EPOCH = dt.datetime(1970, 1, 1)
 
+#: cap on stored string bounds: a page-text column whose values sit under
+#: parquet-mr's 4 KB stats cutoff would otherwise put two multi-KB strings
+#: into EVERY ledger file entry — at 10^5 files that is ledger bloat, not
+#: metadata.  Bounds stay sound: a truncated min is still <= every value;
+#: a truncated max is bumped to a strict upper bound (Iceberg's approach).
+MAX_STRING_STAT_LEN = 96
+
+
+def _truncate_min(s: str) -> str:
+    return s[:MAX_STRING_STAT_LEN]
+
+
+def _truncate_max(s: str) -> str | None:
+    """Shortest prefix-bump upper bound, or None (unbounded) if every
+    prefix character is already the max code point."""
+    if len(s) <= MAX_STRING_STAT_LEN:
+        return s
+    prefix = s[:MAX_STRING_STAT_LEN]
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            return "".join(chars[:i]) + chr(cp + 1)
+    return None
+
 
 def canon(value: Any):
     """Canonical comparable form of a stat/predicate value.
@@ -89,6 +114,7 @@ def collect_file_stats(
     md = pq.ParquetFile(path).metadata
     agg: dict[str, dict[str, Any]] = {}
     dropped: set[str] = set()
+    unbounded_max: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for i in range(g.num_columns):
@@ -120,16 +146,27 @@ def collect_file_stats(
                     dropped.add(name)
                     agg.pop(name, None)
                     continue
+                if isinstance(mn, str):
+                    mn = _truncate_min(mn)
+                if isinstance(mx, str):
+                    mx = _truncate_max(mx)
+                    if mx is None:
+                        # prefix-bump impossible: the max is unbounded for
+                        # this column, now and for every later row group
+                        unbounded_max.add(name)
             cur = agg.get(name)
             if cur is None:
                 agg[name] = {"min": mn, "max": mx, "nulls": nulls, "rows": rows}
             else:
                 if mn is not None:
                     cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
-                if mx is not None:
+                if mx is not None and name not in unbounded_max:
                     cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
                 cur["nulls"] += nulls
                 cur["rows"] += rows
+    for name in unbounded_max:
+        if name in agg:
+            agg[name]["max"] = None
     return agg or None
 
 

@@ -86,6 +86,57 @@ def test_unknown_op_raises():
         predicate_column([("a", "!=", 1)])
 
 
+def test_string_stat_truncation_sound():
+    from geomesa_nifi_spark.lake.stats import (
+        MAX_STRING_STAT_LEN,
+        _truncate_max,
+        _truncate_min,
+    )
+
+    long = "m" * 500 + "tail"
+    lo, hi = _truncate_min(long), _truncate_max(long)
+    assert len(lo) <= MAX_STRING_STAT_LEN and len(hi) <= MAX_STRING_STAT_LEN
+    assert lo <= long <= hi  # bounds stay valid for the original value
+    # prefix-bump: any string sharing the truncated prefix is still covered
+    assert long + "zzz" < hi
+    # short strings pass through untouched
+    assert _truncate_min("abc") == "abc" and _truncate_max("abc") == "abc"
+    # the (theoretical) un-bumpable max becomes unbounded, not wrong
+    assert _truncate_max(chr(0x10FFFF) * (MAX_STRING_STAT_LEN + 1)) is None
+
+
+def test_long_text_column_stats_stay_small(spark, tmp_path):
+    """A page-text column under parquet's 4 KB stats cutoff must not put
+    multi-KB strings into every ledger entry — bounds are truncated (and
+    remain sound: the pruner still keeps the right files)."""
+    import json as _json
+
+    from geomesa_nifi_spark.lake.stats import MAX_STRING_STAT_LEN
+
+    t = make(spark, tmp_path, name="longtext", num_buckets=1)
+    body_a = "alpha page body " * 60  # ~1 KB, under the parquet cutoff
+    body_z = "zulu page body " * 60
+    rows = [ev(f"a{i:02d}", i, body_a) for i in range(20)] + [
+        ev(f"z{i:02d}", 100 + i, body_z) for i in range(20)
+    ]
+    merge_changes(t, spark.createDataFrame(rows, CHANGE), batch_id="b0",
+                  max_records_per_file=10)
+    files = t.snapshot().files
+    for f in files:
+        st = f.stats["lang"]  # 'lang' carries the long bodies in this test
+        for bound in (st["min"], st["max"]):
+            assert bound is None or len(bound) <= MAX_STRING_STAT_LEN
+    # and the ledger entry on disk is bounded too
+    raw = _json.dumps([f.to_json() for f in files])
+    assert len(raw) < 20_000
+    # truncated bounds still prune soundly: files holding only alpha bodies
+    # are skipped for a zulu predicate, and the full value still matches
+    got = t.scan(where=[("lang", "=", body_z)]).count()
+    assert got == 20
+    cand = t.candidate_files(where=[("lang", "=", body_z)])
+    assert 0 < len(cand) < len(files)
+
+
 # -- ledger + scan level -----------------------------------------------------
 
 def test_stats_recorded_on_commit(spark, tmp_path):
