@@ -18,8 +18,10 @@ Commands:
   create-table  — declare a table (StructType DDL or a GeoMesa SFT spec)
   replay        — checkpoint-resumable CDC replay of a change-file stream
   compact       — fold merge-on-read deltas into base files
-  vacuum        — expire snapshots + delete unreferenced files
+  vacuum        — expire snapshots, GC retained changelog files, delete
+                  unreferenced data files
   show          — table state summary (version, schema, per-bucket stats)
+  scan          — predicate scan (zone-map pruned) printed as JSON lines
 """
 
 from __future__ import annotations
@@ -108,8 +110,54 @@ def _cmd_vacuum(args) -> int:
     spark = _spark("gns-vacuum")
     table = LakeTable(spark, args.table)
     expired = table.expire_snapshots(keep_last=args.keep_last)
+    changelog = table.gc_changelog()
     freed = table.vacuum()
-    print(json.dumps({"expired_snapshots": len(expired), "deleted_files": len(freed)}))
+    print(json.dumps({
+        "expired_snapshots": len(expired),
+        "changelog_files_gced": len(changelog),
+        "deleted_files": len(freed),
+    }))
+    return 0
+
+
+def _parse_where(exprs: list[str]) -> list[tuple]:
+    """--where col=val | col<=val | col>=val | col<val | col>val (repeatable;
+    values try int/float, else string)."""
+    out = []
+    for e in exprs:
+        for op in ("<=", ">=", "=", "<", ">"):
+            if op in e:
+                col, _, val = e.partition(op)
+                v: object = val
+                for cast in (int, float):
+                    try:
+                        v = cast(val)
+                        break
+                    except ValueError:
+                        continue
+                out.append((col.strip(), op, v))
+                break
+        else:
+            raise SystemExit(f"bad --where expression: {e!r}")
+    return out
+
+
+def _cmd_scan(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable
+
+    spark = _spark("gns-scan")
+    table = LakeTable(spark, args.table)
+    where = _parse_where(args.where or [])
+    if args.explain_pruning:
+        snap = table.snapshot(args.version)
+        cand = table.candidate_files(where=where, version=args.version)
+        print(json.dumps({
+            "files_total": len(snap.files),
+            "files_after_pruning": len(cand),
+        }), file=sys.stderr)
+    df = table.scan(version=args.version, where=where or None)
+    for row in df.limit(args.limit).toJSON().collect():
+        print(row)
     return 0
 
 
@@ -176,6 +224,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--table", required=True)
     s.add_argument("--deltas", action="store_true")
     s.set_defaults(fn=_cmd_show)
+
+    q = sub.add_parser("scan", help="predicate scan (zone-map pruned) to JSON lines")
+    q.add_argument("--table", required=True)
+    q.add_argument("--version", type=int, default=None)
+    q.add_argument("--where", action="append",
+                   help="col=val / col<=val / ... (repeatable, ANDed)")
+    q.add_argument("--limit", type=int, default=100)
+    q.add_argument("--explain-pruning", action="store_true",
+                   help="print files_total vs files_after_pruning to stderr")
+    q.set_defaults(fn=_cmd_scan)
     return p
 
 

@@ -55,8 +55,16 @@ def test_cli_lifecycle(spark, tmp_path, capsys):
     assert shown["rows"] == 2  # LWW winners (late u2 lost, then compacted)
     assert shown["last_operation"] == "compact"
 
+    rc = main(["scan", "--table", table, "--where", "url=u1", "--explain-pruning"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(l) for l in lines]
+    assert len(rows) == 1 and rows[0]["url"] == "u1" and rows[0]["text"] == "v2"
+
     rc = main(["vacuum", "--table", table, "--keep-last", "1"])
     assert rc == 0
+    vac = json.loads(capsys.readouterr().out.strip())
+    assert "changelog_files_gced" in vac
 
 
 def test_cli_sft_spec_schema(spark, tmp_path, capsys):
