@@ -68,6 +68,9 @@ def _normalize_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 16)))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # INT96 (the legacy default) has no parquet min/max stats — with micros
+    # the lake tables these gates create carry timestamp zone maps too
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark
 
 
