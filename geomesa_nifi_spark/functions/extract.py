@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import html as _htmlmod
 import re
+from collections import Counter
 from typing import Iterator
 
 import pandas as pd
@@ -48,7 +49,8 @@ def extract_text_bytes(html: bytes | None) -> str | None:
     s = _RE_COMMENT.sub(" ", s)
     s = _RE_DROP.sub(" ", s)
     s = _RE_TAG.sub(" ", s)
-    s = _htmlmod.unescape(s)
+    if "&" in s:  # unescape is a no-op (and pure cost) without entities
+        s = _htmlmod.unescape(s)
     return _RE_WS.sub(" ", s).strip()
 
 
@@ -76,6 +78,15 @@ _RE_TOKEN = re.compile(r"[^\W\d_]+", re.UNICODE)
 MIN_STOPWORD_RATIO = 0.08
 UNKNOWN_LANG = "und"
 
+#: inverted stopword index word -> langs containing it: ONE dict probe per
+#: token instead of one membership test per (token, language) — ~4x faster
+#: with identical counts (stopword lists overlap across languages, e.g.
+#: "la"/"en"/"des", so the value is a tuple, not a single lang)
+_WORD_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang in _LANGS:
+    for _w in STOPWORDS[_lang]:
+        _WORD_LANGS[_w] = _WORD_LANGS.get(_w, ()) + (_lang,)
+
 
 def detect_lang_str(text: str | None) -> str | None:
     """Argmax of per-language stopword hit ratio; 'und' below threshold.
@@ -85,11 +96,19 @@ def detect_lang_str(text: str | None) -> str | None:
     tokens = _RE_TOKEN.findall(text.lower())
     if not tokens:
         return UNKNOWN_LANG
+    counts = dict.fromkeys(_LANGS, 0)
+    get = _WORD_LANGS.get
+    # Counter first: one index probe per DISTINCT token (C-speed grouping),
+    # then weight by multiplicity — identical counts, ~2x over per-token
+    for t, n in Counter(tokens).items():
+        langs = get(t)
+        if langs is not None:
+            for lang in langs:
+                counts[lang] += n
     best_lang, best_hits = UNKNOWN_LANG, 0
-    for lang in _LANGS:
-        hits = sum(1 for t in tokens if t in STOPWORDS[lang])
-        if hits > best_hits:
-            best_lang, best_hits = lang, hits
+    for lang in _LANGS:  # alphabetical: first strictly-greater wins ties
+        if counts[lang] > best_hits:
+            best_lang, best_hits = lang, counts[lang]
     if best_hits / len(tokens) < MIN_STOPWORD_RATIO:
         return UNKNOWN_LANG
     return best_lang
