@@ -231,3 +231,79 @@ def test_late_loser_after_ttl_deadline_does_not_crash(spark, tmp_path):
     # loser emitted nothing — a delete with no prior live row is silent
     u1 = [r for r in rows if r["url"] == "u1"]
     assert u1 == []
+
+
+def test_crash_resume_changelog_equals_uninterrupted(spark, tmp_path):
+    """Exactly-once across restart: kill the query after two micro-batches,
+    restart from the same checkpoint, and the union of emitted changes must
+    equal the uninterrupted run's changelog (state store + file-source
+    offsets both recover from the checkpoint)."""
+    import glob
+    import shutil
+
+    files = [
+        [("u1", ts(10), 1, "v1", "upsert"), ("u2", ts(10), 2, "w1", "upsert")],
+        [("u1", ts(20), 3, "v2", "upsert")],
+        [("u2", ts(30), 4, None, "delete")],
+        [("u1", ts(5), 5, "late", "upsert"), ("u3", ts(40), 6, "x1", "upsert")],
+    ]
+
+    def write_src(dirname):
+        src = tmp_path / dirname
+        src.mkdir()
+        for i, rows in enumerate(files):
+            spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+                str(src / f"b-{i}.parquet")
+            )
+            part = glob.glob(str(src / f"b-{i}.parquet" / "part-*.parquet"))[0]
+            shutil.move(part, str(src / f"file-{i}.parquet"))
+            shutil.rmtree(str(src / f"b-{i}.parquet"))
+        return str(src)
+
+    def start(src, out_dir, ckpt):
+        # foreachBatch sink: checkpoint-recoverable (the memory sink is
+        # not); one parquet dir per epoch — re-delivered epochs overwrite
+        # their own dir, so output is idempotent like the lake pipeline's
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = lww_state_stream(stream, tombstone_ttl_ms=None)
+
+        def sink(batch, epoch_id):
+            batch.write.mode("overwrite").parquet(
+                str(tmp_path / out_dir / f"epoch={epoch_id}")
+            )
+
+        return (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def read_out(out_dir):
+        df = spark.read.parquet(str(tmp_path / out_dir / "epoch=*"))
+        return sorted(
+            (r["url"], r["ts_us"], r["tiebreak"], r["change"], r["payload"])
+            for r in df.collect()
+        )
+
+    # uninterrupted reference run
+    src_a = write_src("src_a")
+    q = start(src_a, "out_ref", "ckpt_ref")
+    q.awaitTermination()
+    want = read_out("out_ref")
+
+    # interrupted run: stop after the second micro-batch, then resume
+    src_b = write_src("src_b")
+    q = start(src_b, "out_crash", "ckpt_crash")
+    while len(q.recentProgress) < 2 and q.isActive:
+        pass
+    q.stop()  # hard stop mid-stream
+    q.awaitTermination()
+    q2 = start(src_b, "out_crash", "ckpt_crash")
+    q2.awaitTermination()
+    assert read_out("out_crash") == want
