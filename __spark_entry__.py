@@ -481,9 +481,12 @@ def _stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b).coalesce(1).write.parquet(
             batch_dir
         )
-        part = glob.glob(os.path.join(batch_dir, "part-*.parquet"))[0]
+        parts = glob.glob(os.path.join(batch_dir, "part-*.parquet"))
+        if not parts:  # residue class empty at this sf: just fewer batches
+            shutil.rmtree(batch_dir)
+            continue
         dst = os.path.join(src, f"file-{b}.parquet")
-        shutil.move(part, dst)
+        shutil.move(parts[0], dst)
         shutil.rmtree(batch_dir)
         # the file source triggers in modification-time order; pin it
         os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))

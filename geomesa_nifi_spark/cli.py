@@ -121,20 +121,29 @@ def _cmd_vacuum(args) -> int:
 
 
 def _parse_where(exprs: list[str]) -> list[tuple]:
-    """--where col=val | col<=val | col>=val | col<val | col>val (repeatable;
-    values try int/float, else string)."""
+    """--where col=val | col<=val | col>=val | col<val | col>val (repeatable).
+
+    Values parse as int, then float, else string; quote the value
+    (``col='0123'``) to force a string literal — comparing a numeric
+    literal against a string column makes Spark cast the COLUMN, which
+    matches '0123' == 123 and nulls non-numeric rows."""
     out = []
     for e in exprs:
         for op in ("<=", ">=", "=", "<", ">"):
             if op in e:
                 col, _, val = e.partition(op)
-                v: object = val
-                for cast in (int, float):
-                    try:
-                        v = cast(val)
-                        break
-                    except ValueError:
-                        continue
+                val = val.strip()
+                v: object
+                if len(val) >= 2 and val[0] == val[-1] and val[0] in ("'", '"'):
+                    v = val[1:-1]  # quoted: always a string literal
+                else:
+                    v = val
+                    for cast in (int, float):
+                        try:
+                            v = cast(val)
+                            break
+                        except ValueError:
+                            continue
                 out.append((col.strip(), op, v))
                 break
         else:

@@ -629,6 +629,11 @@ def write_avro(
     for stale in os.listdir(path):
         if (stale.startswith("part-") and ".avro" in stale) or stale == _MANIFEST:
             os.remove(os.path.join(path, stale))
+    # in-progress marker BEFORE the job: a write that dies mid-job leaves
+    # this marker instead of no manifest at all, so read_avro fails loudly
+    # on the partial part set rather than falling back to a raw listing
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump({"in_progress": True}, fh)
     schema = df.schema
 
     def write_partition(batches: Iterator) -> Iterator:
@@ -658,8 +663,11 @@ def write_avro(
 
     written = df.mapInArrow(write_partition, "path string, rows long").collect()
     parts = sorted(os.path.basename(r.path) for r in written if r.path is not None)
-    with open(os.path.join(path, _MANIFEST), "w") as fh:
+    final = os.path.join(path, _MANIFEST)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"files": parts}, fh)
+    os.replace(tmp, final)  # atomic: never a truncated manifest
     return len(parts)
 
 
@@ -697,7 +705,13 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         manifest = os.path.join(path, _MANIFEST)
         if os.path.exists(manifest):
             with open(manifest) as fh:
-                names = json.load(fh)["files"]
+                mf = json.load(fh)
+            if mf.get("in_progress"):
+                raise FileNotFoundError(
+                    f"{path} holds a torn write_avro output (the job died "
+                    f"before committing its manifest); re-run the write"
+                )
+            names = mf["files"]
             files = [os.path.join(path, n) for n in names]
             missing = [f for f in files if not os.path.exists(f)]
             if missing:

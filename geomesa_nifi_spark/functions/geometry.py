@@ -98,10 +98,12 @@ def _parse_coords(body: str) -> list[tuple[float, float]]:
     return [_parse_coord(p) for p in _split_top(body)]
 
 
-def parse_wkt(text: str):
+def parse_wkt(text: str, _depth: int = 0):
     """Parse one WKT geometry -> (type_code, structure); raises ValueError
     on malformed or EMPTY input (the engine represents absent geometry as
     SQL null, not EMPTY)."""
+    if _depth > MAX_NESTING_DEPTH:
+        raise ValueError("geometry nesting exceeds MAX_NESTING_DEPTH")
     m = _HEAD_RE.match(text)
     if not m:
         raise ValueError(f"bad WKT: {text[:40]!r}")
@@ -134,14 +136,26 @@ def parse_wkt(text: str):
             for p in _split_top(body)
         ]
     # GEOMETRYCOLLECTION: members are full WKT geometries
-    return code, [parse_wkt(p) for p in _split_top(body)]
+    return code, [parse_wkt(p, _depth + 1) for p in _split_top(body)]
 
 
 # ---------------------------------------------------------------------------
 # structure -> WKT text
 # ---------------------------------------------------------------------------
 
+#: nesting bound for GEOMETRYCOLLECTION members: the spec allows arbitrary
+#: nesting but a crafted ~9 KB buffer of nested headers would otherwise
+#: blow the Python recursion limit with RecursionError — which the UDFs'
+#: except-ValueError would NOT catch, killing the task instead of nulling
+#: the row.  32 levels is far beyond any real geometry.
+MAX_NESTING_DEPTH = 32
+
+
 def _fmt(v: float) -> str:
+    if v != v or v in (float("inf"), float("-inf")):
+        # WKT has no standard non-finite rendering; treat as malformed so
+        # the column UDFs map the row to null instead of crashing on int()
+        raise ValueError(f"non-finite coordinate {v!r}")
     return f"{int(v)}" if v == int(v) else repr(v)
 
 
@@ -249,7 +263,9 @@ def _read_header(r: _Reader) -> tuple[str, int]:
     return e, code
 
 
-def _decode_body(r: _Reader, e: str, code: int):
+def _decode_body(r: _Reader, e: str, code: int, _depth: int = 0):
+    if _depth > MAX_NESTING_DEPTH:
+        raise ValueError("geometry nesting exceeds MAX_NESTING_DEPTH")
     if code == POINT:
         return struct.unpack(f"{e}dd", r.take(16))
     if code == LINESTRING:
@@ -269,7 +285,7 @@ def _decode_body(r: _Reader, e: str, code: int):
     members = []
     for _ in range(n):
         me, mcode = _read_header(r)
-        members.append((mcode, _decode_body(r, me, mcode)))
+        members.append((mcode, _decode_body(r, me, mcode, _depth + 1)))
     if code == MULTIPOINT:
         if any(c != POINT for c, _ in members):
             raise ValueError("MULTIPOINT member is not a point")
@@ -316,7 +332,13 @@ def wkt_to_wkb(col: Column | str, little: bool = True) -> Column:
         coords = s.str.extract(_POINT_RE)
         x = pd.to_numeric(coords[0], errors="coerce")
         y = pd.to_numeric(coords[1], errors="coerce")
-        is_pt = x.notna() & y.notna()
+        # isfinite too: pd.to_numeric parses "Infinity"/"NaN", which the
+        # WKT grammar (and the decoder's renderer) reject — emitting them
+        # would produce WKB that crashes the inverse UDF
+        is_pt = (
+            x.notna() & y.notna()
+            & np.isfinite(x.fillna(0.0)) & np.isfinite(y.fillna(0.0))
+        )
         n = len(s)
         out: list[bytes | None] = [None] * n
         if is_pt.any() and little:
@@ -367,7 +389,10 @@ def wkb_to_wkt(col: Column | str) -> Column:
             xs = arr[:, 5:13].copy().view("<f8").ravel()
             ys = arr[:, 13:21].copy().view("<f8").ravel()
             for j, i in enumerate(fast_idx):
-                out[i] = f"POINT ({_fmt(float(xs[j]))} {_fmt(float(ys[j]))})"
+                try:
+                    out[i] = f"POINT ({_fmt(float(xs[j]))} {_fmt(float(ys[j]))})"
+                except ValueError:  # non-finite coordinate: malformed -> null
+                    out[i] = None
         return pd.Series(out)
 
     return _dec(F.col(col) if isinstance(col, str) else col)

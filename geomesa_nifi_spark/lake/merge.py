@@ -739,9 +739,9 @@ def update_by_attribute(
     if 0 < n_lookups <= MAX_LOOKUP_VALUES and all(v is not None for v in vals):
         cur = table.scan(where=[(lookup_col, "in", vals)])
     else:
+        # over the guard: full scan, and n_lookups reports the bound rather
+        # than paying a second whole-source distinct() just for the metric
         cur = table.scan()
-        if n_lookups > MAX_LOOKUP_VALUES:
-            n_lookups = m.select("_lk").distinct().count()
     matched = cur.join(m, cur[lookup_col] == F.col("_lk"), "inner")
     batch = matched.select(
         F.col(key),
@@ -765,6 +765,8 @@ def update_by_attribute(
     # row-level accounting, like the reference's per-record counters
     result.metrics["attr_update_rows"] = n_matched
     result.metrics["attr_lookup_values"] = n_lookups
+    if n_lookups > MAX_LOOKUP_VALUES:
+        result.metrics["attr_lookup_values_truncated"] = True  # lower bound
     return result
 
 

@@ -40,9 +40,6 @@ except ImportError:  # pragma: no cover
 #: predicate operators understood by the pruner (and the residual filter)
 OPS = ("=", "<", "<=", ">", ">=", "in", "between")
 
-#: parquet physical types whose min/max we trust and can canonicalize
-_NUMERIC_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
-
 _EPOCH = dt.datetime(1970, 1, 1)
 
 #: cap on stored string bounds: a page-text column whose values sit under

@@ -163,9 +163,14 @@ def lww_state_stream(
         state.update((b_ts, b_tb, is_delete, None if is_delete else b_payload))
         if is_delete:
             # event-time timeout at ts + ttl: fires once the watermark
-            # passes it (GroupStateTimeout.EventTimeTimeout)
+            # passes it (GroupStateTimeout.EventTimeTimeout); clamped past
+            # the watermark for the same reason as the loser-path re-arm —
+            # a winning delete can itself be late per the GLOBAL watermark
+            # while still newer than this key's stored state
             if evict:
-                state.setTimeoutTimestamp(b_ts // 1000 + tombstone_ttl_ms)
+                deadline = b_ts // 1000 + tombstone_ttl_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(deadline, wm + 1))
             if prior_live:
                 yield pd.DataFrame(
                     [[key[0], b_ts, b_tb, "delete", None]],

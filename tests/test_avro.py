@@ -125,6 +125,22 @@ def test_rewrite_clears_stale_parts_and_manifest_bounds_read(spark, tmp_path):
         read_avro(spark, out)
 
 
+def test_torn_write_detected_via_in_progress_marker(spark, tmp_path):
+    """A write_avro that dies mid-job leaves the in-progress marker (written
+    BEFORE the job), so read_avro fails loudly on the partial part set
+    instead of silently reading whatever parts landed."""
+    import json as _json
+    import os
+
+    out = str(tmp_path / "torn")
+    write_avro(spark.range(10).repartition(2), out)
+    # simulate the torn state: parts on disk, manifest back to in-progress
+    with open(os.path.join(out, "_manifest.json"), "w") as fh:
+        _json.dump({"in_progress": True}, fh)
+    with pytest.raises(FileNotFoundError, match="torn"):
+        read_avro(spark, out)
+
+
 def test_by_name_schema_adaptation(spark, tmp_path):
     """Files missing a column are null-padded by name — the
     AvroToPutGeoMesa schema-adapter contract (AvroToPutGeoMesa.scala:60-78)."""

@@ -111,6 +111,46 @@ def test_wkb_big_endian_decodes(spark):
     assert r["w"] == "POINT (1.5 2.5)"
 
 
+def test_non_finite_coordinates_null_not_crash(spark):
+    """WKT has no non-finite rendering: 'POINT (Infinity 5)' (which
+    pd.to_numeric would happily parse) and a spec-valid WKB carrying NaN
+    must map to null, never crash the task with OverflowError/ValueError."""
+    from geomesa_nifi_spark.functions.geometry import wkb_to_wkt, wkt_to_wkb
+
+    df = spark.createDataFrame(
+        [("inf", "POINT (Infinity 5)"), ("nan", "POINT (NaN 1)"),
+         ("ok", "POINT (1 2)")],
+        "k string, wkt string",
+    )
+    rows = {r["k"]: r for r in df.select(
+        "k", wkt_to_wkb("wkt").alias("wkb")
+    ).collect()}
+    assert rows["inf"]["wkb"] is None and rows["nan"]["wkb"] is None
+    assert rows["ok"]["wkb"] is not None
+
+    nan_wkb = wkb_point_bytes(float("nan"), 1.0)
+    inf_wkb = wkb_point_bytes(float("inf"), 1.0)
+    df2 = spark.createDataFrame(
+        [(bytearray(nan_wkb),), (bytearray(inf_wkb),)], "wkb binary"
+    )
+    got = [r["w"] for r in df2.select(wkb_to_wkt("wkb").alias("w")).collect()]
+    assert got == [None, None]
+
+
+def test_deep_nesting_rejected_not_recursion_error():
+    """~1000 nested GEOMETRYCOLLECTION headers must raise ValueError (which
+    the UDFs null out), not RecursionError (which kills the task)."""
+    from geomesa_nifi_spark.functions.geometry import decode_wkb, parse_wkt
+
+    depth = 1000
+    buf = (b"\x01\x07\x00\x00\x00" + struct.pack("<I", 1)) * depth
+    with pytest.raises(ValueError):
+        decode_wkb(buf + b"\x01\x01\x00\x00\x00" + struct.pack("<dd", 0, 0))
+    wkt = "GEOMETRYCOLLECTION (" * depth + "POINT (0 0)" + ")" * depth
+    with pytest.raises(ValueError):
+        parse_wkt(wkt)
+
+
 def test_mixed_endianness_null_in_column(spark):
     bad = b"\x01" + b"\x00\x00\x00\x01" + struct.pack("<dd", 1.0, 2.0)
     df = spark.createDataFrame([(bytearray(bad),)], "wkb binary")
