@@ -281,6 +281,22 @@ def test_update_by_attribute_prunes_scan(spark, tmp_path):
     assert all(v != 9.0 for k, v in got.items() if k.startswith("a"))
 
 
+def test_where_predicate_pushes_into_parquet_scan(spark, tmp_path):
+    """Beyond file pruning, the residual where-filter must reach the
+    parquet reader (PushedFilters) so surviving files still prune row
+    groups — the full three-level pruning story: ledger file skip ->
+    parquet row-group skip -> vectorized filter."""
+    t = make(spark, tmp_path, name="push")
+    merge_changes(t, spark.createDataFrame(
+        [ev(f"u{i}", i, "en") for i in range(10)], CHANGE), batch_id="b0")
+    plan = (
+        t.scan(where=[("lang", "=", "en")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("lang" in l for l in pushed), plan
+
+
 def test_compaction_preserves_stats(spark, tmp_path):
     from geomesa_nifi_spark.lake import compact
 
