@@ -114,7 +114,8 @@ def _bench_kafka_avro_decode(spark, n_events: int, recs_per_msg: int = 500):
     return elapsed, round(n / elapsed, 1)
 
 
-def _new_table(spark, root: str, compact_deltas: int | None = None):
+def _new_table(spark, root: str, compact_deltas: int | None = None,
+               num_buckets: int = 64):
     from geomesa_nifi_spark.lake import LakeTable
 
     props = {}
@@ -122,14 +123,15 @@ def _new_table(spark, root: str, compact_deltas: int | None = None):
         props["mor.compact.deltas"] = str(compact_deltas)
     return LakeTable.create(
         spark, root, PAGES_SCHEMA,
-        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=64,
-        properties=props,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset",
+        num_buckets=num_buckets, properties=props,
     )
 
 
 def run_pipeline_replay(
     spark, changes_dir: str, table_root: str, n_batches: int, extract: bool,
     verbose: bool = False, compact_deltas: int | None = None,
+    num_buckets: int = 64,
 ) -> float:
     """Timed: the full CDC apply (optionally including the extraction UDF),
     finishing with a resolved count (queryable final state).
@@ -142,7 +144,8 @@ def run_pipeline_replay(
     from geomesa_nifi_spark.functions.extract import extract_pages
     from geomesa_nifi_spark.lake import merge_changes
 
-    table = _new_table(spark, table_root, compact_deltas=compact_deltas)
+    table = _new_table(spark, table_root, compact_deltas=compact_deltas,
+                       num_buckets=num_buckets)
     ch = spark.read.parquet(changes_dir)
     t0 = time.monotonic()
     for b in range(n_batches):
@@ -297,7 +300,15 @@ def _replay_child(job: str, argv: list[str]) -> None:
         ).collect()
         secs = time.monotonic() - t0
     else:
-        wt = _new_table(spark, table_root + "-warm")
+        # 16 buckets for the scaling pair (identical at BOTH levels): the
+        # children run at 2/8 threads, where 64 buckets means 64 parquet
+        # writers per ~1M-row batch — 15k-row files whose per-file open/
+        # close overhead is a pure fixed cost that dilutes the scaling
+        # signal.  16 keeps every thread busy at local[8] and puts file
+        # sizes in the production shape (the local[32] merge benches and
+        # real deployments size buckets to THEIR parallelism, per
+        # table.py's scale notes).
+        wt = _new_table(spark, table_root + "-warm", num_buckets=16)
         merge_changes(
             wt, warm, batch_id="w", collect_metrics=False, mode="mor",
             post_dedup_transform=lambda df: extract_pages(df).drop("html"),
@@ -305,6 +316,7 @@ def _replay_child(job: str, argv: list[str]) -> None:
         secs = run_pipeline_replay(
             spark, changes_dir, table_root, n_batches, extract=True,
             verbose=os.environ.get("GNS_BENCH_VERBOSE") == "1",
+            num_buckets=16,
         )
     print(f"JOB_SECONDS {secs:.3f}")
     spark.stop()
