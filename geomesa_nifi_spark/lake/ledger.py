@@ -4,10 +4,27 @@ This plays the role that Iceberg's metadata/snapshot files would play if the
 runtime jars were available: every commit writes an immutable JSON snapshot
 file ``_ledger/v{version:012d}.json`` created with O_EXCL, so exactly one
 writer can claim a version (optimistic concurrency — the loser re-reads and
-retries).  A snapshot lists the live data files (with per-file bucket +
-row-count + key-range stats for pruning), the table schema at that version,
+retries).  A snapshot names the live data files (with per-file bucket +
+row-count + zone-map stats for pruning), the table schema at that version,
 and a free-form summary carrying the CDC lineage: source batch id, offset
 ranges, and row counts.
+
+Manifest layout (commit cost ∝ touched data, not table size)
+------------------------------------------------------------
+The file list itself lives in immutable *manifest* files
+(``_ledger/m-*.json``), one per ``(bucket, kind)`` group, exactly the
+Iceberg manifest-list idea aligned to the engine's bucket layout: a commit
+rewrites only the manifests of the groups whose file set changed and the
+snapshot JSON re-references the parent's manifests for every untouched
+group.  A MoR delta append touching k buckets therefore writes k small
+delta manifests + one O(#groups) snapshot header; a CoW merge rewrites
+manifests only for the buckets whose data it rewrote anyway.  Without this,
+every commit would serialize the full table file list — at 10^5 files with
+zone maps that is ~80 MB of metadata *per commit*.  Manifests are shared
+across snapshots and parsed once per process (memoized by name); snapshots
+load their file list lazily, so walking the ledger for batch ids
+(exactly-once gate) never touches a manifest.  Snapshots written by older
+engine versions carry the file list inline and still load.
 
 Exactly-once: each MERGE commit records its ``batch_id`` in the snapshot
 summary.  ``committed_batch_ids()`` walks the ledger, so replaying an
@@ -17,9 +34,10 @@ already-committed batch is detected and skipped before any work happens
 
 On a real deployment the ledger directory lives on an object store with
 conditional-put (S3 If-None-Match / GCS preconditions) giving the same
-exactly-one-winner semantics as O_EXCL; all other logic is unchanged.
-Snapshot JSON is kilobytes per commit — at 10^10 events with ~10^4 commits
-the ledger is ~100 MB of metadata, read once per job and cached.
+exactly-one-winner semantics as O_EXCL; manifests are plain immutable PUTs
+with unique names, so only the snapshot header needs the conditional write.
+A losing writer's freshly-written manifests become unreferenced orphans;
+``LakeTable.vacuum()`` collects them.
 """
 
 from __future__ import annotations
@@ -27,11 +45,13 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Any
+import uuid
+from dataclasses import dataclass
+from typing import Any, Callable
 
 LEDGER_DIR = "_ledger"
 SNAPSHOT_FMT = "v{:012d}.json"
+MANIFEST_PREFIX = "m-"
 
 
 @dataclass(frozen=True)
@@ -70,15 +90,42 @@ class DataFile:
         )
 
 
-@dataclass
 class Snapshot:
-    version: int
-    schema_json: str  # Spark StructType.json()
-    files: list[DataFile]
-    properties: dict[str, str] = field(default_factory=dict)
-    summary: dict[str, Any] = field(default_factory=dict)
-    parent_version: int | None = None
-    created_ms: int = 0
+    """One committed table version.
+
+    ``files`` is materialized lazily when the snapshot was loaded from a
+    manifest-form ledger entry (reading a snapshot's summary — the
+    exactly-once batch-id walk — never opens a manifest); snapshots built
+    in memory by writers carry their file list eagerly, unchanged.
+    """
+
+    def __init__(
+        self,
+        version: int,
+        schema_json: str,
+        files: list[DataFile] | None = None,
+        properties: dict[str, str] | None = None,
+        summary: dict[str, Any] | None = None,
+        parent_version: int | None = None,
+        created_ms: int = 0,
+        files_loader: Callable[[], list[DataFile]] | None = None,
+    ):
+        if files is None and files_loader is None:
+            raise ValueError("Snapshot needs files or files_loader")
+        self.version = version
+        self.schema_json = schema_json
+        self.properties = dict(properties or {})
+        self.summary = dict(summary or {})
+        self.parent_version = parent_version
+        self.created_ms = created_ms
+        self._files = files
+        self._files_loader = files_loader
+
+    @property
+    def files(self) -> list[DataFile]:
+        if self._files is None:
+            self._files = self._files_loader()
+        return self._files
 
     @property
     def snapshot_id(self) -> int:
@@ -86,6 +133,8 @@ class Snapshot:
         return self.version
 
     def to_json(self) -> dict[str, Any]:
+        """Inline (manifest-free) JSON form — the pre-manifest ledger format,
+        kept for tooling/tests; ``Ledger.commit`` writes the manifest form."""
         return {
             "version": self.version,
             "schema_json": self.schema_json,
@@ -98,6 +147,7 @@ class Snapshot:
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Snapshot":
+        """Parse the inline form (legacy snapshots / tooling)."""
         return Snapshot(
             version=int(d["version"]),
             schema_json=d["schema_json"],
@@ -127,6 +177,10 @@ class Ledger:
         self._snap_cache: dict[int, Snapshot] = {}
         self._batch_ids: set[str] = set()
         self._batch_ids_seen_version: int = -1
+        # Manifests are immutable and shared across snapshots: each is parsed
+        # at most once per process regardless of how many snapshots cite it.
+        self._manifest_cache: dict[str, list[DataFile]] = {}
+        self._refs_cache: dict[int, list[dict[str, Any]] | None] = {}
 
     # -- reads -----------------------------------------------------------
 
@@ -158,20 +212,55 @@ class Ledger:
         if snap is None:
             path = os.path.join(self.dir, SNAPSHOT_FMT.format(version))
             with open(path) as fh:
-                snap = Snapshot.from_json(json.load(fh))
+                d = json.load(fh)
+            refs = d.get("manifests")
+            if refs is not None:
+                self._refs_cache[int(d["version"])] = refs
+                snap = Snapshot(
+                    version=int(d["version"]),
+                    schema_json=d["schema_json"],
+                    files_loader=lambda r=refs: [
+                        f for ref in r for f in self._load_manifest(ref["path"])
+                    ],
+                    properties=dict(d.get("properties") or {}),
+                    summary=dict(d.get("summary") or {}),
+                    parent_version=d.get("parent_version"),
+                    created_ms=int(d.get("created_ms") or 0),
+                )
+            else:
+                self._refs_cache[int(d["version"])] = None
+                snap = Snapshot.from_json(d)
             self._snap_cache[version] = snap
         return snap
 
     def snapshots(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self._versions()]
 
+    def manifest_refs(self, version: int) -> list[dict[str, Any]] | None:
+        """The manifest references of a committed version (``None`` for
+        legacy inline snapshots).  Used by vacuum for manifest GC."""
+        if version not in self._refs_cache:
+            self.snapshot(version)
+        return self._refs_cache.get(version)
+
+    def _load_manifest(self, name: str) -> list[DataFile]:
+        files = self._manifest_cache.get(name)
+        if files is None:
+            with open(os.path.join(self.dir, name)) as fh:
+                d = json.load(fh)
+            files = [DataFile.from_json(f) for f in d["files"]]
+            self._manifest_cache[name] = files
+        return files
+
     def committed_batch_ids(self) -> set[str]:
         """Batch ids of every committed snapshot (exactly-once gate).
 
         Incremental: only snapshots newer than the last call are opened, so a
-        long replay pays O(new commits) per merge, not O(all commits).  Ids
-        are retained even after ``expire_snapshots`` drops old ledger entries
-        in-process — replaying an expired batch is still detected."""
+        long replay pays O(new commits) per merge, not O(all commits); the
+        lazy file list means this walk reads snapshot headers only, never
+        manifests.  Ids are retained even after ``expire_snapshots`` drops
+        old ledger entries in-process — replaying an expired batch is still
+        detected."""
         for v in self._versions():
             if v > self._batch_ids_seen_version:
                 bid = self.snapshot(v).summary.get("batch_id")
@@ -182,19 +271,91 @@ class Ledger:
 
     # -- writes ----------------------------------------------------------
 
+    def _parent_groups(
+        self, parent_version: int | None
+    ) -> dict[tuple[int, str], tuple[dict[str, Any], frozenset[str]]]:
+        """Map ``(bucket, kind) -> (manifest ref, file-path set)`` for the
+        parent snapshot's manifests, for reuse detection.  Empty when the
+        parent is absent, expired, or a legacy inline snapshot."""
+        if parent_version is None:
+            return {}
+        try:
+            refs = self.manifest_refs(parent_version)
+        except FileNotFoundError:
+            return {}
+        if not refs:
+            return {}
+        out: dict[tuple[int, str], tuple[dict[str, Any], frozenset[str]]] = {}
+        for ref in refs:
+            group = (int(ref["bucket"]), str(ref["kind"]))
+            paths = frozenset(f.path for f in self._load_manifest(ref["path"]))
+            out[group] = (ref, paths)
+        return out
+
+    def _write_manifest(self, version: int, bucket: int, kind: str,
+                        files: list[DataFile]) -> dict[str, Any]:
+        name = (
+            f"{MANIFEST_PREFIX}{version:012d}-{kind[0]}{bucket:04d}"
+            f"-{uuid.uuid4().hex[:8]}.json"
+        )
+        tmp = os.path.join(self.dir, name + f".tmp.{os.getpid()}")
+        with open(tmp, "w") as fh:
+            json.dump({"files": [f.to_json() for f in files]}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        # unique name -> plain atomic rename (no race window to guard)
+        os.rename(tmp, os.path.join(self.dir, name))
+        self._manifest_cache[name] = list(files)
+        return {
+            "path": name,
+            "bucket": bucket,
+            "kind": kind,
+            "n_files": len(files),
+            "rows": sum(f.rows for f in files),
+        }
+
     def commit(self, snapshot: Snapshot) -> Snapshot:
         """Atomically publish ``snapshot`` as the next ledger version.
 
-        O_EXCL create: if the target version file already exists another
-        writer won the race -> CommitConflict (caller re-reads and retries
-        on top of the new state).
+        Writes one manifest per ``(bucket, kind)`` group whose file set
+        differs from the parent snapshot's, re-references the parent's
+        manifest for every unchanged group, then publishes the snapshot
+        header with O_EXCL create: if the target version file already
+        exists another writer won the race -> CommitConflict (caller
+        re-reads and retries on top of the new state; its orphaned
+        manifests are collected by vacuum).
         """
         os.makedirs(self.dir, exist_ok=True)
         snapshot.created_ms = int(time.time() * 1000)
+
+        groups: dict[tuple[int, str], list[DataFile]] = {}
+        for f in snapshot.files:
+            groups.setdefault((f.bucket, f.kind), []).append(f)
+        parent = self._parent_groups(snapshot.parent_version)
+        refs: list[dict[str, Any]] = []
+        for (bucket, kind) in sorted(groups):
+            files = groups[(bucket, kind)]
+            inherited = parent.get((bucket, kind))
+            if inherited is not None and inherited[1] == frozenset(
+                f.path for f in files
+            ) and len(inherited[1]) == len(files):
+                refs.append(inherited[0])
+            else:
+                refs.append(self._write_manifest(snapshot.version, bucket, kind, files))
+
+        doc = {
+            "version": snapshot.version,
+            "schema_json": snapshot.schema_json,
+            "manifests": refs,
+            "properties": snapshot.properties,
+            "summary": snapshot.summary,
+            "parent_version": snapshot.parent_version,
+            "created_ms": snapshot.created_ms,
+        }
         path = os.path.join(self.dir, SNAPSHOT_FMT.format(snapshot.version))
         tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
-            json.dump(snapshot.to_json(), fh)
+            json.dump(doc, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -208,4 +369,5 @@ class Ledger:
         finally:
             os.unlink(tmp)
         self._snap_cache[snapshot.version] = snapshot
+        self._refs_cache[snapshot.version] = refs
         return snapshot

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geomesa_nifi_spark.lake import stats as zone
-from geomesa_nifi_spark.lake.ledger import DataFile, Ledger, Snapshot
+from geomesa_nifi_spark.lake.ledger import LEDGER_DIR, DataFile, Ledger, Snapshot
 
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"  # hidden tombstone flag; see merge.py
@@ -480,14 +480,19 @@ class LakeTable:
         return removed
 
     def vacuum(self) -> list[str]:
-        """Delete data files not referenced by any snapshot (failed commits)."""
+        """Delete data files and ledger manifests not referenced by any
+        snapshot (failed/conflicted commits, expired versions)."""
         referenced = set()
+        live_manifests: set[str] = set()
         for snap in self.ledger.snapshots():
             for f in snap.files:
                 referenced.add(os.path.normpath(f.path))
             # CoW changelog side files live in the summary, not in files
             for cf in snap.summary.get("changelog_files") or []:
                 referenced.add(os.path.normpath(cf["path"]))
+            refs = self.ledger.manifest_refs(snap.version)
+            for ref in refs or []:
+                live_manifests.add(ref["path"])
         removed = []
         data_root = os.path.join(self.root, "data")
         for dirpath, _d, filenames in os.walk(data_root):
@@ -497,6 +502,17 @@ class LakeTable:
                 if name.endswith(".parquet") and rel not in referenced:
                     os.unlink(full)
                     removed.append(rel)
+        # Manifest GC: losing commit attempts and expired snapshots leave
+        # immutable m-*.json files no remaining snapshot cites.
+        from geomesa_nifi_spark.lake.ledger import MANIFEST_PREFIX
+        for name in os.listdir(self.ledger.dir):
+            if (
+                name.startswith(MANIFEST_PREFIX)
+                and name.endswith(".json")
+                and name not in live_manifests
+            ):
+                os.unlink(os.path.join(self.ledger.dir, name))
+                removed.append(os.path.join(LEDGER_DIR, name))
         return removed
 
 
