@@ -198,6 +198,39 @@ def _merge_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, sf_dir, [1, 3, 0, 2], mode="mor")
 
 
+def _merge_replay_rescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with a mid-stream bucket rescale (8 -> 32 via
+    ``LakeTable.rescale``, the admin rebalance for tables that outgrow
+    their create-time bucket count): first half merges MoR at 8 buckets,
+    the rescale folds the deltas while moving every row to the new modulus,
+    the second half merges CoW at 32.  The layout change must be invisible
+    to the final state — LWW order, tombstones, and exactly-once all
+    survive it, and the oracle is the identical LWW CTE."""
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    ch = _changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gns_entry_") + "/pages"
+    table = LakeTable.create(
+        spark, root, _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset",
+        num_buckets=8,
+    )
+    for b in (0, 1):
+        merge_changes(
+            table,
+            ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"entry-rs-{b}", mode="mor", auto_compact=False,
+        )
+    table.rescale(32)
+    for b in (2, 3):
+        merge_changes(
+            table,
+            ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"entry-rs-{b}", mode="cow",
+        )
+    return _final_state(table)
+
+
 def _fid_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-id rewrite on a live table (≙ ``UpdateGeoMesaRecord``'s fid
     update): keys of every 7th user move to a new domain; the final state
@@ -1243,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay": _merge_replay,
         "cdc_merge_replay_scrambled": _merge_replay_scrambled,
         "cdc_merge_replay_mor": _merge_replay_mor,
+        "cdc_merge_replay_rescaled": _merge_replay_rescaled,
         "cdc_fid_rewrite": _fid_rewrite,
         "cdc_schema_evolution": _schema_evolution_replay,
         "cdc_ingest_counts": _ingest_counts,
@@ -1286,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_replay": _LWW_STATE_SQL,
         "cdc_merge_replay_scrambled": _LWW_STATE_SQL,
         "cdc_merge_replay_mor": _LWW_STATE_SQL,
+        "cdc_merge_replay_rescaled": _LWW_STATE_SQL,
         "cdc_fid_rewrite": _FID_REWRITE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,

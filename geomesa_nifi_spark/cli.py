@@ -18,6 +18,7 @@ Commands:
   create-table  — declare a table (StructType DDL or a GeoMesa SFT spec)
   replay        — checkpoint-resumable CDC replay of a change-file stream
   compact       — fold merge-on-read deltas into base files
+  rescale       — rewrite the table under a new bucket count
   vacuum        — expire snapshots, GC retained changelog files, delete
                   unreferenced data files
   show          — table state summary (version, schema, per-bucket stats)
@@ -101,6 +102,21 @@ def _cmd_compact(args) -> int:
     table = LakeTable(spark, args.table)
     snap = compact(table, drop_tombstones=args.drop_tombstones)
     print(json.dumps({"version": snap.version}))
+    return 0
+
+
+def _cmd_rescale(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable
+
+    spark = _spark("gns-rescale")
+    table = LakeTable(spark, args.table)
+    old = table.num_buckets
+    snap = table.rescale(args.buckets)
+    print(json.dumps({
+        "version": snap.version,
+        "from_buckets": old,
+        "to_buckets": args.buckets,
+    }))
     return 0
 
 
@@ -223,6 +239,11 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--table", required=True)
     k.add_argument("--drop-tombstones", action="store_true")
     k.set_defaults(fn=_cmd_compact)
+
+    rs = sub.add_parser("rescale", help="rewrite the table under a new bucket count")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--buckets", type=int, required=True)
+    rs.set_defaults(fn=_cmd_rescale)
 
     v = sub.add_parser("vacuum", help="expire snapshots + delete orphans")
     v.add_argument("--table", required=True)

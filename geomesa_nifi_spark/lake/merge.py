@@ -161,7 +161,11 @@ def merge_changes(
     for f in final_schema.fields:
         if f.name in src_types and src_types[f.name] != f.dataType:
             src = src.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    src = src.withColumn(BUCKET_COL, table.bucket_expr())
+    # Pin the bucket modulus to the snapshot this merge executes against; a
+    # concurrent rescale() invalidates it, surfaces as CommitConflict, and
+    # the redo below re-buckets the batch under the new modulus.
+    nb = int(base.properties["num_buckets"])
+    src = src.withColumn(BUCKET_COL, table.bucket_expr(num_buckets=nb))
 
     if mode == "mor":
         # No target read and no bucket-discovery job: the single action is
@@ -174,8 +178,11 @@ def merge_changes(
         )
 
     # The deduped source feeds two consumers (bucket discovery + the join);
-    # persist it so the upstream read/extract/dedup chain runs once.
-    src = src.persist()
+    # persist it so the upstream read/extract/dedup chain runs once.  Keep
+    # the persisted handle separate: the rescale-conflict redo rebinds
+    # ``src`` to a re-bucketed derivation, and unpersist must release the
+    # CACHED frame, not the derivation.
+    src = src_cached = src.persist()
     try:
         # ---- bucket pruning -------------------------------------------------
         touched = sorted(
@@ -213,9 +220,30 @@ def merge_changes(
 
                 _time.sleep(_random.uniform(0, 0.2 * (2 ** min(attempt, 4))))
                 base = table.snapshot()
+                new_nb = int(base.properties["num_buckets"])
+                if new_nb != nb:
+                    # lost the race to a rescale(): the batch's bucket labels
+                    # and the touched set are stale under the new modulus —
+                    # re-bucket (cheap: src is persisted) and re-prune.
+                    nb = new_nb
+                    src = src.withColumn(
+                        BUCKET_COL, table.bucket_expr(num_buckets=nb)
+                    )
+                    touched = sorted(
+                        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+                    )
+                    touched_set = set(touched)
+                    tgt_rows = sum(
+                        f.rows
+                        for f in base.files
+                        if f.bucket in touched_set and f.kind == "base"
+                    )
+                    strategy = _pick_join_strategy(
+                        src, join_strategy, broadcast_threshold_bytes, tgt_rows
+                    )
         raise AssertionError("unreachable")
     finally:
-        src.unpersist()
+        src_cached.unpersist()
 
 
 def _merge_mor(
@@ -279,6 +307,7 @@ def _merge_mor(
     # ledger entry on the new snapshot — no data is rewritten (contrast CoW,
     # where a conflicting rewrite of the same bucket must redo the merge).
     snap = None
+    nb = int(base.properties["num_buckets"])
     for _attempt in range(10):
         try:
             snap = _commit(base)
@@ -288,6 +317,23 @@ def _merge_mor(
             if batch_id is not None and str(batch_id) in table.committed_batch_ids():
                 return MergeResult(snapshot=None, skipped=True,
                                    metrics={"reason": "batch_committed"})
+            new_nb = int(base.properties["num_buckets"])
+            if new_nb != nb:
+                # lost the race to a rescale(): the already-written delta
+                # files carry bucket labels of the OLD modulus — rebasing
+                # them would misprune every later scan.  Rewrite the batch
+                # under the new modulus (the stale files become vacuum
+                # orphans, exactly like a failed CoW attempt).
+                nb = new_nb
+                new_files = table.write_files(
+                    out.withColumn(
+                        BUCKET_COL, table.bucket_expr(num_buckets=nb)
+                    ),
+                    base.version + 1,
+                    max_records_per_file,
+                    kind="delta",
+                )
+                touched = sorted({f.bucket for f in new_files})
     if snap is None:
         raise CommitConflict("merge_mor: lost the commit race 10 times")
     metrics = {"delta_rows": sum(f.rows for f in new_files)}
@@ -339,7 +385,10 @@ def compact(
     resolved = table.scan(snapshot=base, buckets=buckets, include_tombstones=True)
     if drop_tombstones:
         resolved = resolved.filter(~F.col(DELETED_COL))
-    out = resolved.withColumn(BUCKET_COL, table.bucket_expr())
+    out = resolved.withColumn(
+        BUCKET_COL,
+        table.bucket_expr(num_buckets=int(base.properties["num_buckets"])),
+    )
     new_files = table.write_files(out, base.version + 1, max_records_per_file, kind="base")
     return table.commit_rewrite(
         touched_buckets=buckets,
@@ -446,7 +495,9 @@ def _merge_prepared(
         tiebreak=tiebreak,
         final_schema=final_schema,
         update_mode=update_mode,
-        bucket_expr=table.bucket_expr(),
+        bucket_expr=table.bucket_expr(
+            num_buckets=int(base.properties["num_buckets"])
+        ),
         join_strategy=join_strategy,
     )
 
@@ -573,7 +624,9 @@ def append_only(
             (F.col(c).cast(f.dataType) if c in source.columns else F.lit(None).cast(f.dataType)).alias(c)
             for c, f in zip(cols, table.schema().fields)
         ]
-    ).withColumn(BUCKET_COL, table.bucket_expr())
+    )
+    nb = int(base.properties["num_buckets"])
+    out = out.withColumn(BUCKET_COL, table.bucket_expr(num_buckets=nb))
     new_files = table.write_files(out, base.version + 1, max_records_per_file)
     # A blind append is content-independent of the base snapshot, so a lost
     # commit race is trivially rebasable: re-read the latest snapshot and
@@ -603,6 +656,19 @@ def append_only(
             if batch_id is not None and str(batch_id) in table.committed_batch_ids():
                 return MergeResult(snapshot=None, skipped=True,
                                    metrics={"reason": "batch_committed"})
+            new_nb = int(base.properties["num_buckets"])
+            if new_nb != nb:
+                # lost the race to a rescale(): file-reusing rebase would
+                # attach old-modulus bucket labels — rewrite under the new
+                # modulus (stale files become vacuum orphans).
+                nb = new_nb
+                new_files = table.write_files(
+                    out.withColumn(
+                        BUCKET_COL, table.bucket_expr(num_buckets=nb)
+                    ),
+                    base.version + 1,
+                    max_records_per_file,
+                )
     if snap is None:
         raise CommitConflict("append: lost the commit race 10 times")
     return MergeResult(snapshot=snap, metrics={"appended": sum(f.rows for f in new_files)})

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geomesa_nifi_spark.lake import stats as zone
-from geomesa_nifi_spark.lake.ledger import LEDGER_DIR, DataFile, Ledger, Snapshot
+from geomesa_nifi_spark.lake.ledger import (
+    LEDGER_DIR,
+    CommitConflict,
+    DataFile,
+    Ledger,
+    Snapshot,
+)
 
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"  # hidden tombstone flag; see merge.py
@@ -56,16 +62,20 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.ledger = Ledger(root)
-        # key_col/ts_col/tiebreak_col/num_buckets are fixed at CREATE and
-        # copied forward verbatim by every commit; cache them so property
-        # accessors don't re-list and re-open the current snapshot per access.
+        # key_col/ts_col/tiebreak_col are fixed at CREATE and copied forward
+        # verbatim by every commit; cache them so property accessors don't
+        # re-list and re-open the current snapshot per access.  num_buckets
+        # is NOT cached: ``rescale()`` may change it at any commit, and a
+        # stale modulus would label files with wrong buckets (silent
+        # corruption), so it is always resolved from the latest snapshot —
+        # a bounded metadata read, called O(1) times per batch.
         self._structural: dict[str, str] | None = None
 
     def _struct_prop(self, name: str) -> str | None:
         if self._structural is None:
             p = self.snapshot().properties
             self._structural = {
-                k: p.get(k, "") for k in ("key_col", "ts_col", "tiebreak_col", "num_buckets")
+                k: p.get(k, "") for k in ("key_col", "ts_col", "tiebreak_col")
             }
         return self._structural.get(name) or None
 
@@ -152,7 +162,8 @@ class LakeTable:
 
     @property
     def num_buckets(self) -> int:
-        return int(self._struct_prop("num_buckets"))  # type: ignore[arg-type]
+        """The CURRENT bucket modulus (version-sensitive — see ``rescale``)."""
+        return int(self.snapshot().properties["num_buckets"])
 
     def history(self) -> list[Snapshot]:
         return self.ledger.snapshots()
@@ -162,10 +173,15 @@ class LakeTable:
 
     # -- bucketing ---------------------------------------------------------
 
-    def bucket_expr(self, key=None) -> F.Column:
-        """pmod(xxhash64(key), B) — JVM-side, codegen'd, deterministic."""
+    def bucket_expr(self, key=None, num_buckets: int | None = None) -> F.Column:
+        """pmod(xxhash64(key), B) — JVM-side, codegen'd, deterministic.
+
+        ``num_buckets`` pins the modulus (readers of historical versions and
+        ``rescale`` pass the modulus of the snapshot they operate on);
+        default is the current snapshot's."""
         key = F.col(self.key_col) if key is None else key
-        return F.pmod(F.xxhash64(key), F.lit(self.num_buckets)).cast("int")
+        b = self.num_buckets if num_buckets is None else int(num_buckets)
+        return F.pmod(F.xxhash64(key), F.lit(b)).cast("int")
 
     # -- reads ---------------------------------------------------------------
 
@@ -276,9 +292,15 @@ class LakeTable:
         lit_df = self.spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField(self.key_col, T.StringType())])
         )
+        # the modulus of the version being read, NOT the current one — a
+        # time-travel read across a rescale must prune with the layout the
+        # target snapshot's files were actually written under
+        nb = int(self.snapshot(version).properties["num_buckets"])
         buckets = sorted(
             r[0]
-            for r in lit_df.select(self.bucket_expr().alias("b")).distinct().collect()
+            for r in lit_df.select(
+                self.bucket_expr(num_buckets=nb).alias("b")
+            ).distinct().collect()
         )
         # zone maps prune files INSIDE the selected buckets (the write path
         # sorts by key, so each overflow split covers a narrow key range);
@@ -430,6 +452,73 @@ class LakeTable:
             parent_version=base.version,
         )
         return self.ledger.commit(snap)
+
+    def rescale(
+        self,
+        new_num_buckets: int,
+        max_records_per_file: int = 2_000_000,
+        retries: int = 5,
+    ) -> Snapshot:
+        """Change the table's bucket count — the admin rebalance operation.
+
+        A create-time bucket count is a scaling liability: at 100 TB a table
+        created with 32 buckets has ~3 TB rewrites per touched bucket and a
+        merge-parallelism ceiling of 32.  ``rescale`` rewrites the table
+        under a new modulus in ONE snapshot commit (Iceberg's
+        ``REPLACE PARTITION FIELD`` + rewrite, collapsed into one atomic
+        step): every row moves to ``pmod(xxhash64(key), B')``, merge-on-read
+        deltas are folded (LWW-resolved) along the way, and tombstones are
+        preserved so stale replays still cannot resurrect deleted keys.
+
+        Scale shape: one shuffle of the full table on the new bucket column
+        (unavoidable for an arbitrary modulus change; the common grow case
+        B' = k*B moves each row between co-resident siblings, so the shuffle
+        is write-amplification-free per executor), parallelism = B' write
+        tasks.  It is an O(table) operation by design — run it rarely, at
+        k*B growth steps.  Time travel keeps working: historical snapshots
+        retain their own ``num_buckets`` property and ``lookup``/readers
+        prune with the modulus of the version they read.
+
+        Concurrency: optimistic like every commit — a concurrent writer
+        winning the version race invalidates the rewrite, which redoes
+        against the new state (bounded ``retries``; orphaned files are
+        vacuum's job).  Concurrent merges that lose against a rescale
+        re-derive the modulus fresh (``num_buckets`` is never cached) and
+        re-bucket their batch before retrying.
+        """
+        if new_num_buckets <= 0:
+            raise ValueError(f"num_buckets must be positive, got {new_num_buckets}")
+        for _attempt in range(retries):
+            base = self.snapshot()
+            old = int(base.properties["num_buckets"])
+            if old == new_num_buckets:
+                return base  # idempotent no-op
+            df = self.scan(snapshot=base, include_tombstones=True).withColumn(
+                BUCKET_COL, self.bucket_expr(num_buckets=new_num_buckets)
+            )
+            new_files = self.write_files(
+                df, base.version + 1, max_records_per_file, kind="base"
+            )
+            props = dict(base.properties)
+            props["num_buckets"] = str(new_num_buckets)
+            snap = Snapshot(
+                version=base.version + 1,
+                schema_json=base.schema_json,
+                files=new_files,
+                properties=props,
+                summary={
+                    "operation": "rescale",
+                    "from_buckets": old,
+                    "to_buckets": new_num_buckets,
+                    "rows_written": sum(f.rows for f in new_files),
+                },
+                parent_version=base.version,
+            )
+            try:
+                return self.ledger.commit(snap)
+            except CommitConflict:
+                continue  # table moved under us: redo against the new state
+        raise CommitConflict(f"rescale: lost the commit race {retries} times")
 
     def expire_snapshots(self, keep_last: int = 20) -> list[int]:
         """Drop ledger entries older than the newest ``keep_last`` versions.
