@@ -4,8 +4,12 @@ Validates what the short benches cannot: compaction cadence under a long
 batch sequence, ledger growth, and end-state correctness vs an independent
 LWW oracle over the full stream.
 
-Usage: python tools/soak.py [n_events] [n_batches]
-"""
+Usage: python tools/soak.py [n_events] [n_batches] [rescale_at:rescale_to]
+
+The optional third arg wedges a live ``LakeTable.rescale`` into the replay
+(e.g. ``10:256`` rescales to 256 buckets after batch 10) — proving the
+admin rebalance under sustained write volume with the same end-state
+oracle."""
 
 from __future__ import annotations
 
@@ -23,6 +27,9 @@ from pyspark.sql import types as T
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    rescale_at = rescale_to = None
+    if len(sys.argv) > 3:
+        rescale_at, rescale_to = (int(x) for x in sys.argv[3].split(":"))
 
     from geomesa_nifi_spark.lake import LakeTable, merge_changes
     from geomesa_nifi_spark.operators.dedup import lww_dedup
@@ -62,6 +69,14 @@ def main() -> None:
         r = merge_changes(table, batch, batch_id=f"soak-{b}", collect_metrics=False, mode="mor")
         if r.metrics.get("compacted_buckets"):
             compactions += 1
+        if rescale_at is not None and b + 1 == rescale_at:
+            rt = time.monotonic()
+            table.rescale(rescale_to)
+            print(
+                f"  rescaled {64} -> {rescale_to} buckets after batch {b+1} "
+                f"({time.monotonic() - rt:.1f}s)",
+                flush=True,
+            )
         if (b + 1) % 10 == 0:
             el = time.monotonic() - t0
             print(
