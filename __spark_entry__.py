@@ -231,6 +231,41 @@ def _merge_replay_rescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_state(table)
 
 
+def _merge_replay_rescaled_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay across a LAZY rescale (8 -> 32 via
+    ``LakeTable.rescale(lazy=True)`` — the metadata-only variant that stamps
+    inherited files with their old modulus instead of rewriting 100 TB):
+    first half merges MoR at 8 buckets, the lazy commit raises the modulus
+    without moving a byte, the second half merges CoW at 32 — migrating
+    exactly the sibling groups it touches.  The final read runs over a
+    MIXED-modulus file set (congruence-coverage pruning + residual bucket
+    filter, ``lake/ledger.py covered_buckets``), and must still equal the
+    identical LWW oracle."""
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    ch = _changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gns_entry_") + "/pages"
+    table = LakeTable.create(
+        spark, root, _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset",
+        num_buckets=8,
+    )
+    for b in (0, 1):
+        merge_changes(
+            table,
+            ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"entry-rsl-{b}", mode="mor", auto_compact=False,
+        )
+    table.rescale(32, lazy=True)
+    for b in (2, 3):
+        merge_changes(
+            table,
+            ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"entry-rsl-{b}", mode="cow",
+        )
+    return _final_state(table)
+
+
 def _fid_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-id rewrite on a live table (≙ ``UpdateGeoMesaRecord``'s fid
     update): keys of every 7th user move to a new domain; the final state
@@ -1277,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay_scrambled": _merge_replay_scrambled,
         "cdc_merge_replay_mor": _merge_replay_mor,
         "cdc_merge_replay_rescaled": _merge_replay_rescaled,
+        "cdc_merge_replay_rescaled_lazy": _merge_replay_rescaled_lazy,
         "cdc_fid_rewrite": _fid_rewrite,
         "cdc_schema_evolution": _schema_evolution_replay,
         "cdc_ingest_counts": _ingest_counts,
@@ -1321,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_replay_scrambled": _LWW_STATE_SQL,
         "cdc_merge_replay_mor": _LWW_STATE_SQL,
         "cdc_merge_replay_rescaled": _LWW_STATE_SQL,
+        "cdc_merge_replay_rescaled_lazy": _LWW_STATE_SQL,
         "cdc_fid_rewrite": _FID_REWRITE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,

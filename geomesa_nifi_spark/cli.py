@@ -19,6 +19,8 @@ Commands:
   replay        — checkpoint-resumable CDC replay of a change-file stream
   compact       — fold merge-on-read deltas into base files
   rescale       — rewrite the table under a new bucket count
+                  (--lazy: metadata-only stamp, migrate on touch)
+  migrate       — pay down lazy-rescale debt in bounded commits
   vacuum        — expire snapshots, GC retained changelog files, delete
                   unreferenced data files
   show          — table state summary (version, schema, per-bucket stats)
@@ -111,12 +113,28 @@ def _cmd_rescale(args) -> int:
     spark = _spark("gns-rescale")
     table = LakeTable(spark, args.table)
     old = table.num_buckets
-    snap = table.rescale(args.buckets)
-    print(json.dumps({
+    snap = table.rescale(args.buckets, lazy=args.lazy)
+    out = {
         "version": snap.version,
         "from_buckets": old,
         "to_buckets": args.buckets,
-    }))
+        "lazy": args.lazy,
+    }
+    if args.lazy:
+        out["stamped_files"] = snap.summary.get("stamped_files")
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_migrate(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable, migrate_layout
+
+    spark = _spark("gns-migrate")
+    table = LakeTable(spark, args.table)
+    snap = migrate_layout(table, groups_per_commit=args.groups_per_commit)
+    nb = table.num_buckets
+    debt = sum(1 for f in snap.files if (f.modulus or nb) != nb)
+    print(json.dumps({"version": snap.version, "remaining_debt_files": debt}))
     return 0
 
 
@@ -243,7 +261,18 @@ def build_parser() -> argparse.ArgumentParser:
     rs = sub.add_parser("rescale", help="rewrite the table under a new bucket count")
     rs.add_argument("--table", required=True)
     rs.add_argument("--buckets", type=int, required=True)
+    rs.add_argument(
+        "--lazy", action="store_true",
+        help="metadata-only: stamp old-modulus files, migrate on touch",
+    )
     rs.set_defaults(fn=_cmd_rescale)
+
+    mg = sub.add_parser(
+        "migrate", help="rewrite lazy-rescale old-modulus files (bounded commits)"
+    )
+    mg.add_argument("--table", required=True)
+    mg.add_argument("--groups-per-commit", type=int, default=64)
+    mg.set_defaults(fn=_cmd_migrate)
 
     v = sub.add_parser("vacuum", help="expire snapshots + delete orphans")
     v.add_argument("--table", required=True)

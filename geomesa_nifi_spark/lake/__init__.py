@@ -9,12 +9,15 @@ from geomesa_nifi_spark.lake.ledger import (  # noqa: F401
     DataFile,
     Ledger,
     Snapshot,
+    covered_buckets,
+    files_covering,
 )
 from geomesa_nifi_spark.lake.merge import (  # noqa: F401
     MergeResult,
     append_only,
     compact,
     merge_changes,
+    migrate_layout,
     rewrite_fids,
     update_by_attribute,
 )

@@ -65,6 +65,17 @@ class DataFile:
     ``stats``: optional zone map — ``{col: {min, max, nulls, rows}}`` read
     from the parquet footer at commit time (see ``lake/stats.py``); absent
     on files written before the feature existed, which simply never prune.
+
+    ``modulus``: the bucket count the file's ``bucket`` label was computed
+    under, when it differs from the snapshot's current ``num_buckets`` —
+    set by a LAZY rescale (``LakeTable.rescale(lazy=True)``), which stamps
+    every inherited file with the old modulus instead of rewriting data.
+    ``None`` (the overwhelmingly common case) means "the snapshot's own
+    ``num_buckets``"; readers resolve it per snapshot.  Files with an old
+    modulus stay valid because lazy rescale only grows by integer factors,
+    so an old label ``b`` under modulus ``m`` covers exactly the current
+    buckets ``{b' : b' ≡ b (mod m)}`` — Iceberg's partition-spec-evolution
+    idea aligned to hash buckets.
     """
 
     path: str  # relative to the table root
@@ -72,11 +83,14 @@ class DataFile:
     rows: int
     kind: str = "base"
     stats: dict[str, Any] | None = None
+    modulus: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         out = {"path": self.path, "bucket": self.bucket, "rows": self.rows, "kind": self.kind}
         if self.stats:
             out["stats"] = self.stats
+        if self.modulus is not None:
+            out["modulus"] = self.modulus
         return out
 
     @staticmethod
@@ -87,7 +101,38 @@ class DataFile:
             rows=int(d["rows"]),
             kind=d.get("kind", "base"),
             stats=d.get("stats"),
+            modulus=(int(d["modulus"]) if d.get("modulus") is not None else None),
         )
+
+
+def covered_buckets(f: DataFile, num_buckets: int) -> range:
+    """The CURRENT buckets a file's rows fall into.
+
+    A file stamped with an old ``modulus`` m (lazy rescale) holds every row
+    whose key hashes to ``f.bucket (mod m)`` — under the current modulus
+    ``num_buckets = k*m`` that is exactly the congruence class
+    ``{f.bucket, f.bucket+m, ..., f.bucket+(k-1)*m}``.  Unstamped files
+    (modulus == current) cover just their own bucket."""
+    m = f.modulus if f.modulus is not None else num_buckets
+    return range(f.bucket, num_buckets, m)
+
+
+def files_covering(files, buckets, num_buckets: int) -> list[DataFile]:
+    """The subset of ``files`` whose coverage intersects ``buckets`` —
+    the bucket-pruning primitive, mixed-modulus aware.  A file with
+    modulus m matches a wanted bucket b iff ``b % m == f.bucket``; the
+    wanted residues are precomputed per distinct modulus so the filter
+    stays O(len(files))."""
+    residues: dict[int, set[int]] = {}
+    out: list[DataFile] = []
+    for f in files:
+        m = f.modulus if f.modulus is not None else num_buckets
+        w = residues.get(m)
+        if w is None:
+            w = residues[m] = {b % m for b in buckets}
+        if f.bucket in w:
+            out.append(f)
+    return out
 
 
 class Snapshot:
@@ -285,10 +330,16 @@ class Ledger:
             return {}
         if not refs:
             return {}
-        out: dict[tuple[int, str], tuple[dict[str, Any], frozenset[str]]] = {}
+        out: dict[tuple[int, str], tuple[dict[str, Any], frozenset]] = {}
         for ref in refs:
             group = (int(ref["bucket"]), str(ref["kind"]))
-            paths = frozenset(f.path for f in self._load_manifest(ref["path"]))
+            # (path, modulus) pairs: a lazy rescale changes file ENTRIES
+            # (the modulus stamp) without changing paths — reusing the
+            # parent manifest on a path-only match would silently drop the
+            # stamp.
+            paths = frozenset(
+                (f.path, f.modulus) for f in self._load_manifest(ref["path"])
+            )
             out[group] = (ref, paths)
         return out
 
@@ -337,7 +388,7 @@ class Ledger:
             files = groups[(bucket, kind)]
             inherited = parent.get((bucket, kind))
             if inherited is not None and inherited[1] == frozenset(
-                f.path for f in files
+                (f.path, f.modulus) for f in files
             ) and len(inherited[1]) == len(files):
                 refs.append(inherited[0])
             else:

@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geomesa_nifi_spark.lake import evolution
-from geomesa_nifi_spark.lake.ledger import CommitConflict, Snapshot
+from geomesa_nifi_spark.lake.ledger import (
+    CommitConflict,
+    Snapshot,
+    covered_buckets,
+    files_covering,
+)
 from geomesa_nifi_spark.lake.table import BUCKET_COL, DELETED_COL, LakeTable
 from geomesa_nifi_spark.operators.dedup import lww_dedup
 
@@ -190,9 +195,16 @@ def merge_changes(
         )  # <= num_buckets rows: trivially driver-safe at any scale
         if not touched:
             return MergeResult(snapshot=None, skipped=True, metrics={"reason": "empty_batch"})
-        touched_set = set(touched)
+        # sibling closure: after a lazy rescale an old-modulus file spans
+        # several current buckets; rewriting any of them must rewrite all
+        # (identity on tables without lazy debt) — this is also how lazy
+        # debt migrates: the rewrite re-labels those rows under the current
+        # modulus and retires the stamped file
+        touched = table.closure_buckets(touched, snapshot=base)
         tgt_rows = sum(
-            f.rows for f in base.files if f.bucket in touched_set and f.kind == "base"
+            f.rows
+            for f in files_covering(base.files, touched, nb)
+            if f.kind == "base"
         )
         strategy = _pick_join_strategy(
             src, join_strategy, broadcast_threshold_bytes, tgt_rows
@@ -229,14 +241,17 @@ def merge_changes(
                     src = src.withColumn(
                         BUCKET_COL, table.bucket_expr(num_buckets=nb)
                     )
-                    touched = sorted(
-                        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+                    touched = table.closure_buckets(
+                        sorted(
+                            r[0]
+                            for r in src.select(BUCKET_COL).distinct().collect()
+                        ),
+                        snapshot=base,
                     )
-                    touched_set = set(touched)
                     tgt_rows = sum(
                         f.rows
-                        for f in base.files
-                        if f.bucket in touched_set and f.kind == "base"
+                        for f in files_covering(base.files, touched, nb)
+                        if f.kind == "base"
                     )
                     strategy = _pick_join_strategy(
                         src, join_strategy, broadcast_threshold_bytes, tgt_rows
@@ -377,17 +392,29 @@ def compact(
     older event can arrive (e.g. retention horizon passed).
     """
     base = table.snapshot()
+    nb = int(base.properties["num_buckets"])
     if buckets is None:
-        buckets = sorted({f.bucket for f in base.files if f.kind == "delta"})
+        buckets = sorted(
+            {
+                b
+                for f in base.files
+                if f.kind == "delta"
+                for b in covered_buckets(f, nb)
+            }
+        )
     buckets = list(buckets)
     if not buckets:
         return base
+    # sibling closure (lazy rescale): compacting a bucket that shares an
+    # old-modulus file with siblings compacts the whole group — which also
+    # MIGRATES those files to the current modulus (the rewrite below labels
+    # rows with the current bucket_expr and carries no modulus stamp)
+    buckets = table.closure_buckets(buckets, snapshot=base)
     resolved = table.scan(snapshot=base, buckets=buckets, include_tombstones=True)
     if drop_tombstones:
         resolved = resolved.filter(~F.col(DELETED_COL))
     out = resolved.withColumn(
-        BUCKET_COL,
-        table.bucket_expr(num_buckets=int(base.properties["num_buckets"])),
+        BUCKET_COL, table.bucket_expr(num_buckets=nb)
     )
     new_files = table.write_files(out, base.version + 1, max_records_per_file, kind="base")
     return table.commit_rewrite(
@@ -401,6 +428,34 @@ def compact(
         },
         base=base,
     )
+
+
+def migrate_layout(
+    table: LakeTable,
+    groups_per_commit: int = 64,
+    max_records_per_file: int = 2_000_000,
+):
+    """Pay down lazy-rescale debt: rewrite every file still stamped with an
+    old modulus under the table's CURRENT modulus, in bounded commits.
+
+    After ``rescale(lazy=True)`` old-modulus files migrate organically as
+    merges and compactions touch their buckets; this is the explicit
+    background form — the Iceberg ``rewrite_data_files``-after-spec-change
+    maintenance job.  Each round picks up to ``groups_per_commit`` sibling
+    groups (one old-modulus file's coverage = one group) and compacts
+    them, so a 10^5-file table migrates in many small commits that
+    concurrent writers simply race against (optimistic, like any
+    compaction) instead of one table-sized rewrite.  Returns the final
+    snapshot (identity when no debt exists)."""
+    while True:
+        snap = table.snapshot()
+        nb = int(snap.properties["num_buckets"])
+        stale = [f for f in snap.files if (f.modulus or nb) != nb]
+        if not stale:
+            return snap
+        groups = sorted({(f.modulus, f.bucket) for f in stale})[:groups_per_commit]
+        buckets = sorted({b for (m, label) in groups for b in range(label, nb, m)})
+        compact(table, buckets=buckets, max_records_per_file=max_records_per_file)
 
 
 #: auto picks broadcast only when the touched-bucket target holds at least
@@ -460,11 +515,16 @@ def _conflicts_are_compaction_only(table, base, newer, touched) -> bool:
             s = table.snapshot(v)
         except Exception:
             return False
+        nb = int(s.properties["num_buckets"])
         prev_paths = {f.path for f in prev.files}
         cur_paths = {f.path for f in s.files}
-        changed = {f.bucket for f in s.files if f.path not in prev_paths} | {
-            f.bucket for f in prev.files if f.path not in cur_paths
-        }
+        changed: set[int] = set()
+        for f in s.files:
+            if f.path not in prev_paths:
+                changed.update(covered_buckets(f, nb))
+        for f in prev.files:
+            if f.path not in cur_paths:
+                changed.update(covered_buckets(f, nb))
         if changed & t and s.summary.get("operation") != "compact":
             return False
         prev = s
@@ -559,7 +619,10 @@ def _merge_prepared(
         "lineage": lineage or {},
     }
     def files_of(snapshot, buckets):
-        return sorted(f.path for f in snapshot.files if f.bucket in set(buckets))
+        nb_ = int(snapshot.properties["num_buckets"])
+        return sorted(
+            f.path for f in files_covering(snapshot.files, set(buckets), nb_)
+        )
 
     snap = None
     for _attempt in range(10):
@@ -581,6 +644,15 @@ def _merge_prepared(
             if batch_id is not None and str(batch_id) in table.committed_batch_ids():
                 return MergeResult(snapshot=None, skipped=True,
                                    metrics={"reason": "batch_committed"})
+            if int(newer.properties["num_buckets"]) != int(
+                base.properties["num_buckets"]
+            ):
+                # lost the race to a rescale.  A LAZY rescale keeps every
+                # file path identical, so the path comparison below would
+                # wrongly rebase — but our new files carry bucket labels of
+                # the OLD modulus with no stamp.  Propagate: the caller's
+                # redo loop re-buckets the batch under the new modulus.
+                raise
             if files_of(newer, touched) != files_of(base, touched):
                 if _conflicts_are_compaction_only(table, base, newer, touched):
                     # every intervening commit that touched OUR buckets was a

@@ -214,26 +214,48 @@ def file_may_match(
     return True
 
 
-def prune_files(files: Iterable, preds: Sequence[tuple[str, str, Any]]) -> list:
+def prune_files(
+    files: Iterable,
+    preds: Sequence[tuple[str, str, Any]],
+    num_buckets: int | None = None,
+) -> list:
     """Zone-map pruning over ledger ``DataFile`` entries, bucket-sound.
 
     Base-only buckets prune per file; buckets containing delta files are
     all-or-nothing (see module docstring for why cross-file LWW resolution
-    makes per-file pruning unsound there).
+    makes per-file pruning unsound there).  ``num_buckets`` (the snapshot's
+    current modulus) makes the grouping lazy-rescale aware: a file stamped
+    with an old modulus belongs to the LWW-resolution group of every
+    current bucket it covers, so it is kept whenever any of those groups
+    must be read whole.
     """
     files = list(files)
     if not preds:
         return files
+    # group files by the CURRENT buckets they cover; without a modulus the
+    # label is the group (the pre-lazy-rescale fast path)
     by_bucket: dict[int, list] = {}
     for f in files:
-        by_bucket.setdefault(f.bucket, []).append(f)
+        m = getattr(f, "modulus", None)
+        if num_buckets is not None and m is not None and m != num_buckets:
+            for cb in range(f.bucket, num_buckets, m):
+                by_bucket.setdefault(cb, []).append(f)
+        else:
+            by_bucket.setdefault(f.bucket, []).append(f)
+    keep_ids: set[int] = set()
     out: list = []
     for fs in by_bucket.values():
         if any(f.kind == "delta" for f in fs):
             if any(file_may_match(f.stats, preds) for f in fs):
-                out.extend(fs)
+                survivors = fs
+            else:
+                survivors = []
         else:
-            out.extend(f for f in fs if file_may_match(f.stats, preds))
+            survivors = [f for f in fs if file_may_match(f.stats, preds)]
+        for f in survivors:
+            if id(f) not in keep_ids:  # a covering file may sit in k groups
+                keep_ids.add(id(f))
+                out.append(f)
     return out
 
 

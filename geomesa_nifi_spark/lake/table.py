@@ -40,6 +40,8 @@ from geomesa_nifi_spark.lake.ledger import (
     DataFile,
     Ledger,
     Snapshot,
+    covered_buckets,
+    files_covering,
 )
 
 BUCKET_COL = "_bucket"
@@ -197,11 +199,13 @@ class LakeTable:
         so callers and tests can assert how much a predicate prunes."""
         snap = snapshot or self.snapshot(version)
         files = snap.files
+        nb = int(snap.properties["num_buckets"])
         if buckets is not None:
-            wanted = set(buckets)
-            files = [f for f in files if f.bucket in wanted]
+            # coverage-based: a lazy-rescale-stamped file (modulus m < nb)
+            # matches every wanted bucket congruent to its label mod m
+            files = files_covering(files, set(buckets), nb)
         if where:
-            files = zone.prune_files(files, where)
+            files = zone.prune_files(files, where, num_buckets=nb)
         return files
 
     def scan(
@@ -246,6 +250,22 @@ class LakeTable:
             where=where, buckets=buckets, snapshot=snap
         )
         df = self._read_files(snap, files)
+        nb = int(snap.properties["num_buckets"])
+        if buckets is not None and any(
+            (f.modulus or nb) != nb for f in files
+        ):
+            # Mixed-modulus exactness: an old-modulus file covers sibling
+            # buckets besides the wanted ones; re-derive each row's CURRENT
+            # bucket from its key (codegen, no shuffle) and keep only the
+            # wanted rows.  Every file covering a wanted bucket was
+            # selected, so rows surviving this filter are complete per
+            # bucket — LWW resolution below stays sound.
+            wanted = sorted(set(buckets))
+            df = df.filter(
+                F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(nb))
+                .cast("int")
+                .isin(wanted)
+            )
         if any(f.kind == "delta" for f in files):
             df = self._resolve_lww(df)
         if not include_tombstones:
@@ -311,16 +331,57 @@ class LakeTable:
         )
 
     def delta_stats(self, snapshot: Snapshot | None = None) -> dict[int, dict]:
-        """Per-bucket {files, delta_files, delta_rows} — compaction input."""
+        """Per-CURRENT-bucket {files, delta_files, delta_rows} — compaction
+        input.  An old-modulus file counts toward every bucket it covers
+        (reading any of them must open it, so the file counts measure real
+        read amplification); its rows are an upper bound per bucket, which
+        only ever triggers compaction earlier — and compaction migrates the
+        file to the current modulus, retiring the overcount."""
         snap = snapshot or self.snapshot()
+        nb = int(snap.properties["num_buckets"])
         out: dict[int, dict] = {}
         for f in snap.files:
-            b = out.setdefault(f.bucket, {"files": 0, "delta_files": 0, "delta_rows": 0})
-            b["files"] += 1
-            if f.kind == "delta":
-                b["delta_files"] += 1
-                b["delta_rows"] += f.rows
+            for cb in covered_buckets(f, nb):
+                b = out.setdefault(cb, {"files": 0, "delta_files": 0, "delta_rows": 0})
+                b["files"] += 1
+                if f.kind == "delta":
+                    b["delta_files"] += 1
+                    b["delta_rows"] += f.rows
         return out
+
+    def closure_buckets(
+        self, buckets: Iterable[int], snapshot: Snapshot | None = None
+    ) -> list[int]:
+        """Sibling closure of a bucket set: the smallest superset such that
+        every file covering any bucket in it is covered ENTIRELY by it.
+
+        Copy-on-write rewrites replace whole files; after a lazy rescale a
+        file may span several current buckets, so rewriting "bucket 11"
+        must also rewrite its siblings sharing that file — otherwise
+        dropping the file would lose the siblings' rows.  Fixpoint over the
+        snapshot's file list (driver-side metadata only); converges in at
+        most #distinct-moduli rounds, and is the identity on tables with no
+        lazy-rescale debt (the overwhelmingly common case, short-circuited
+        here)."""
+        snap = snapshot or self.snapshot()
+        nb = int(snap.properties["num_buckets"])
+        touched = set(buckets)
+        stamped = [
+            (f.modulus, f.bucket)
+            for f in snap.files
+            if f.modulus is not None and f.modulus != nb
+        ]
+        if not stamped:
+            return sorted(touched)
+        changed = True
+        while changed:
+            changed = False
+            for m, label in stamped:
+                cov = set(range(label, nb, m))
+                if cov & touched and not cov <= touched:
+                    touched |= cov
+                    changed = True
+        return sorted(touched)
 
     # -- writes --------------------------------------------------------------
 
@@ -421,10 +482,28 @@ class LakeTable:
         """Publish a snapshot replacing the touched buckets' files.
 
         Untouched buckets keep their existing files untouched — the
-        copy-on-write unit is the bucket, not the table.
+        copy-on-write unit is the bucket, not the table.  Mixed-modulus
+        aware: a file is dropped iff its coverage intersects the touched
+        set, and a file whose coverage only PARTIALLY overlaps is a caller
+        bug (the touched set must be sibling-closed, ``closure_buckets``)
+        — dropping it would lose the untouched siblings' rows, so it
+        raises instead.
         """
         touched = set(touched_buckets)
-        kept = [f for f in base.files if f.bucket not in touched]
+        nb = int(base.properties["num_buckets"])
+        kept: list[DataFile] = []
+        for f in base.files:
+            cov = set(covered_buckets(f, nb))
+            if cov & touched:
+                if not cov <= touched:
+                    raise ValueError(
+                        f"rewrite of buckets {sorted(touched)} would drop "
+                        f"{f.path} which also covers untouched buckets "
+                        f"{sorted(cov - touched)}; sibling-close the touched "
+                        "set first (LakeTable.closure_buckets)"
+                    )
+            else:
+                kept.append(f)
         snap = Snapshot(
             version=base.version + 1,
             schema_json=schema_json or base.schema_json,
@@ -458,6 +537,7 @@ class LakeTable:
         new_num_buckets: int,
         max_records_per_file: int = 2_000_000,
         retries: int = 5,
+        lazy: bool = False,
     ) -> Snapshot:
         """Change the table's bucket count — the admin rebalance operation.
 
@@ -485,9 +565,71 @@ class LakeTable:
         vacuum's job).  Concurrent merges that lose against a rescale
         re-derive the modulus fresh (``num_buckets`` is never cached) and
         re-bucket their batch before retrying.
+
+        ``lazy=True`` — incremental rescale, Iceberg partition-spec
+        evolution aligned to hash buckets: a METADATA-ONLY commit that
+        raises ``num_buckets`` to an integer multiple and stamps every
+        inherited file with the modulus its bucket label was computed
+        under (``DataFile.modulus``).  No data moves: at 100 TB the eager
+        rewrite is an O(table) job one schedules rarely, while the lazy
+        form is O(#files) driver metadata — the table is readable and
+        writable at the new parallelism immediately.  Old-modulus files
+        keep working through congruence coverage (``covered_buckets``) and
+        migrate to the new layout as merges and compactions touch them
+        (every rewrite stamps out its inputs); ``merge.migrate_layout``
+        pays the remaining debt in bounded background commits.  Lazy
+        requires growth by an integer factor (coverage of an old label is
+        exactly a congruence class only when the old modulus divides the
+        new); shrinking or an arbitrary modulus needs the eager rewrite.
         """
         if new_num_buckets <= 0:
             raise ValueError(f"num_buckets must be positive, got {new_num_buckets}")
+        if lazy:
+            from dataclasses import replace as _replace
+
+            for _attempt in range(retries):
+                base = self.snapshot()
+                old = int(base.properties["num_buckets"])
+                if old == new_num_buckets:
+                    return base  # idempotent no-op
+                if new_num_buckets % old != 0 or new_num_buckets < old:
+                    raise ValueError(
+                        f"lazy rescale requires growing to an integer multiple "
+                        f"of the current bucket count ({old} -> "
+                        f"{new_num_buckets}); use eager rescale for shrinks "
+                        "or arbitrary moduli"
+                    )
+                # files stamped by an EARLIER lazy rescale keep their stamp
+                # (their labels are still under that older modulus, which
+                # divides `old` and therefore the new modulus too)
+                stamped = [
+                    f if f.modulus is not None else _replace(f, modulus=old)
+                    for f in base.files
+                ]
+                props = dict(base.properties)
+                props["num_buckets"] = str(new_num_buckets)
+                snap = Snapshot(
+                    version=base.version + 1,
+                    schema_json=base.schema_json,
+                    files=stamped,
+                    properties=props,
+                    summary={
+                        "operation": "rescale_lazy",
+                        "from_buckets": old,
+                        "to_buckets": new_num_buckets,
+                        "stamped_files": sum(
+                            1 for f in stamped if f.modulus is not None
+                        ),
+                    },
+                    parent_version=base.version,
+                )
+                try:
+                    return self.ledger.commit(snap)
+                except CommitConflict:
+                    continue  # metadata-only: just re-read and re-stamp
+            raise CommitConflict(
+                f"rescale(lazy): lost the commit race {retries} times"
+            )
         for _attempt in range(retries):
             base = self.snapshot()
             old = int(base.properties["num_buckets"])

@@ -98,3 +98,32 @@ def test_module_entry_subprocess(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert json.loads(out.stdout.strip().splitlines()[-1])["version"] == 0
+
+
+def test_cli_lazy_rescale_and_migrate(spark, tmp_path, capsys):
+    table = str(tmp_path / "t")
+    assert main([
+        "create-table", "--table", table,
+        "--schema", "url string, warc_ts timestamp, offset long, text string",
+        "--key", "url", "--ts", "warc_ts", "--tiebreak", "offset",
+        "--buckets", "4",
+    ]) == 0
+    _write_changes(spark, tmp_path / "changes")
+    assert main([
+        "replay", "--table", table, "--source", str(tmp_path / "changes"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--no-extract",
+        "--max-files-per-trigger", "10",
+    ]) == 0
+    capsys.readouterr()
+
+    assert main(["rescale", "--table", table, "--buckets", "16", "--lazy"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["lazy"] and out["to_buckets"] == 16 and out["stamped_files"] > 0
+
+    assert main(["migrate", "--table", table, "--groups-per-commit", "1"]) == 0
+    mig = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mig["remaining_debt_files"] == 0
+
+    assert main(["scan", "--table", table, "--where", "url=u1"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 1 and rows[0]["text"] == "v2"

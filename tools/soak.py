@@ -4,12 +4,15 @@ Validates what the short benches cannot: compaction cadence under a long
 batch sequence, ledger growth, and end-state correctness vs an independent
 LWW oracle over the full stream.
 
-Usage: python tools/soak.py [n_events] [n_batches] [rescale_at:rescale_to]
+Usage: python tools/soak.py [n_events] [n_batches] [rescale_at:rescale_to[:lazy]]
 
 The optional third arg wedges a live ``LakeTable.rescale`` into the replay
 (e.g. ``10:256`` rescales to 256 buckets after batch 10) — proving the
 admin rebalance under sustained write volume with the same end-state
-oracle."""
+oracle.  Suffix ``:lazy`` (e.g. ``10:256:lazy``) uses the metadata-only
+lazy rescale instead; the rest of the replay then runs over a
+mixed-modulus layout that migrates as merges/compactions touch it, and
+the final ``migrate_layout`` debt is reported."""
 
 from __future__ import annotations
 
@@ -28,8 +31,11 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     rescale_at = rescale_to = None
+    rescale_lazy = False
     if len(sys.argv) > 3:
-        rescale_at, rescale_to = (int(x) for x in sys.argv[3].split(":"))
+        parts = sys.argv[3].split(":")
+        rescale_at, rescale_to = int(parts[0]), int(parts[1])
+        rescale_lazy = len(parts) > 2 and parts[2] == "lazy"
 
     from geomesa_nifi_spark.lake import LakeTable, merge_changes
     from geomesa_nifi_spark.operators.dedup import lww_dedup
@@ -71,9 +77,10 @@ def main() -> None:
             compactions += 1
         if rescale_at is not None and b + 1 == rescale_at:
             rt = time.monotonic()
-            table.rescale(rescale_to)
+            table.rescale(rescale_to, lazy=rescale_lazy)
+            kind = "lazily rescaled" if rescale_lazy else "rescaled"
             print(
-                f"  rescaled {64} -> {rescale_to} buckets after batch {b+1} "
+                f"  {kind} {64} -> {rescale_to} buckets after batch {b+1} "
                 f"({time.monotonic() - rt:.1f}s)",
                 flush=True,
             )
@@ -98,6 +105,23 @@ def main() -> None:
     max_deltas = max((s["delta_files"] for s in stats.values()), default=0)
     print(f"final rows: {got} oracle: {expected} -> {'MATCH' if got == expected else 'MISMATCH'}")
     print(f"ledger versions: {table.snapshot().version}, max delta files/bucket: {max_deltas}")
+    if rescale_lazy:
+        nb = table.num_buckets
+        debt = sum(1 for f in table.snapshot().files if (f.modulus or nb) != nb)
+        print(f"lazy-rescale debt after replay: {debt} old-modulus files", flush=True)
+        if debt:
+            from geomesa_nifi_spark.lake import migrate_layout
+
+            mt = time.monotonic()
+            migrate_layout(table)
+            still = sum(
+                1 for f in table.snapshot().files if (f.modulus or nb) != nb
+            )
+            ok = table.scan().count() == got and still == 0
+            print(
+                f"migrate_layout: cleared in {time.monotonic() - mt:.1f}s, "
+                f"state intact: {ok}"
+            )
     expired = table.expire_snapshots(keep_last=10)
     freed = table.vacuum()
     print(f"expired {len(expired)} snapshots, vacuumed {len(freed)} files; "
