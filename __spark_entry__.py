@@ -266,6 +266,55 @@ def _merge_replay_rescaled_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_state(table)
 
 
+def _incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate (``lake/materialize.py``) — the
+    downstream CDC consumer the reference leaves unspecified past its
+    Kafka egress (``GetGeoMesaKafkaRecord``): a per-event_type
+    (count, sum(src_offset)) view maintained by incremental refresh after
+    EVERY merge batch — bucket-pruned pre/post diffs, never a recompute —
+    whose final state must equal DuckDB aggregating the final LWW state
+    from scratch.  Group transitions (keys switching event_type between
+    batches, groups emptying via deletes) are exercised by the LWW replay
+    itself."""
+    from geomesa_nifi_spark.lake import (
+        LakeTable, create_aggregate_view, merge_changes, refresh,
+    )
+
+    ch = _changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gns_entry_")
+    table = LakeTable.create(
+        spark, root + "/pages", _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset",
+        num_buckets=16,
+    )
+    view = create_aggregate_view(
+        spark, root + "/mv", table,
+        group_cols=["event_type"],
+        metrics={"n": "count", "sum_off": ("sum", "src_offset")},
+        num_buckets=4,
+    )
+    for b in (0, 1, 2, 3):
+        merge_changes(
+            table,
+            ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"entry-mv-{b}", mode="mor" if b % 2 else "cow",
+        )
+        refresh(view, table)
+    return view.scan().select("event_type", "n", "sum_off")
+
+
+_INCREMENTAL_MV_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT event_type, count(*) AS n, CAST(sum(src_offset) AS BIGINT) AS sum_off
+FROM lww WHERE rn = 1 AND op <> 'delete'
+GROUP BY event_type
+"""
+
+
 def _fid_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-id rewrite on a live table (≙ ``UpdateGeoMesaRecord``'s fid
     update): keys of every 7th user move to a new domain; the final state
@@ -1313,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay_mor": _merge_replay_mor,
         "cdc_merge_replay_rescaled": _merge_replay_rescaled,
         "cdc_merge_replay_rescaled_lazy": _merge_replay_rescaled_lazy,
+        "cdc_incremental_mv": _incremental_mv,
         "cdc_fid_rewrite": _fid_rewrite,
         "cdc_schema_evolution": _schema_evolution_replay,
         "cdc_ingest_counts": _ingest_counts,
@@ -1358,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_replay_mor": _LWW_STATE_SQL,
         "cdc_merge_replay_rescaled": _LWW_STATE_SQL,
         "cdc_merge_replay_rescaled_lazy": _LWW_STATE_SQL,
+        "cdc_incremental_mv": _INCREMENTAL_MV_SQL,
         "cdc_fid_rewrite": _FID_REWRITE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,

@@ -21,6 +21,8 @@ Commands:
   rescale       — rewrite the table under a new bucket count
                   (--lazy: metadata-only stamp, migrate on touch)
   migrate       — pay down lazy-rescale debt in bounded commits
+  mv-create     — declare an incremental aggregate view over a table
+  mv-refresh    — advance a view to the source head (incremental)
   vacuum        — expire snapshots, GC retained changelog files, delete
                   unreferenced data files
   show          — table state summary (version, schema, per-bucket stats)
@@ -123,6 +125,52 @@ def _cmd_rescale(args) -> int:
     if args.lazy:
         out["stamped_files"] = snap.summary.get("stamped_files")
     print(json.dumps(out))
+    return 0
+
+
+def _cmd_mv_create(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable, create_aggregate_view
+
+    spark = _spark("gns-mv-create")
+    source = LakeTable(spark, args.source)
+    metrics: dict = {"n": "count"}
+    for spec in args.sum or []:
+        out, col = spec.split("=", 1) if "=" in spec else (f"sum_{spec}", spec)
+        metrics[out] = ("sum", col)
+    view = create_aggregate_view(
+        spark, args.view, source,
+        group_cols=args.group_by.split(","),
+        metrics=metrics,
+        num_buckets=args.buckets,
+    )
+    print(json.dumps({"view": view.root, "group_by": args.group_by,
+                      "metrics": sorted(metrics)}))
+    return 0
+
+
+def _cmd_mv_refresh(args) -> int:
+    from geomesa_nifi_spark.lake import (
+        LakeTable,
+        MaterializeRetentionError,
+        last_refreshed_version,
+        rebuild,
+        refresh,
+    )
+
+    spark = _spark("gns-mv-refresh")
+    view = LakeTable(spark, args.view)
+    source = LakeTable(spark, view.snapshot().properties["mv.source_root"])
+    try:
+        r = refresh(view, source)
+    except MaterializeRetentionError:
+        if not args.rebuild_on_horizon:
+            raise
+        r = rebuild(view, source)
+    print(json.dumps({
+        "skipped": r.skipped,
+        "source_version": last_refreshed_version(view),
+        "view_version": view.snapshot().version,
+    }))
     return 0
 
 
@@ -273,6 +321,27 @@ def build_parser() -> argparse.ArgumentParser:
     mg.add_argument("--table", required=True)
     mg.add_argument("--groups-per-commit", type=int, default=64)
     mg.set_defaults(fn=_cmd_migrate)
+
+    mvc = sub.add_parser(
+        "mv-create", help="declare an incremental aggregate view over a table"
+    )
+    mvc.add_argument("--view", required=True)
+    mvc.add_argument("--source", required=True)
+    mvc.add_argument("--group-by", required=True, help="comma-separated columns")
+    mvc.add_argument(
+        "--sum", action="append",
+        help="out_col=source_col (repeatable); count(*) column 'n' is implicit",
+    )
+    mvc.add_argument("--buckets", type=int, default=32)
+    mvc.set_defaults(fn=_cmd_mv_create)
+
+    mvr = sub.add_parser("mv-refresh", help="advance a view to the source head")
+    mvr.add_argument("--view", required=True)
+    mvr.add_argument(
+        "--rebuild-on-horizon", action="store_true",
+        help="fall back to a full rebuild when the range was expired",
+    )
+    mvr.set_defaults(fn=_cmd_mv_refresh)
 
     v = sub.add_parser("vacuum", help="expire snapshots + delete orphans")
     v.add_argument("--table", required=True)

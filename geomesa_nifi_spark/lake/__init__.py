@@ -12,6 +12,13 @@ from geomesa_nifi_spark.lake.ledger import (  # noqa: F401
     covered_buckets,
     files_covering,
 )
+from geomesa_nifi_spark.lake.materialize import (  # noqa: F401
+    MaterializeRetentionError,
+    create_aggregate_view,
+    last_refreshed_version,
+    rebuild,
+    refresh,
+)
 from geomesa_nifi_spark.lake.merge import (  # noqa: F401
     MergeResult,
     append_only,

@@ -1,0 +1,408 @@
+"""Incremental materialized aggregates — a downstream CDC consumer that
+maintains a derived table from a source :class:`LakeTable`'s committed
+changes instead of recomputing it.
+
+The reference ships the change stream OUT (``GetGeoMesaKafkaRecord``,
+SURVEY.md §3.3) and leaves the consumer unspecified; this module is the
+canonical consumer: classic incremental view maintenance (IVM) of
+``GROUP BY`` count/sum aggregates, driven by the snapshot ledger.
+
+How a refresh works (versions ``(from_v, to_v]`` of the source):
+
+1. The commits in range are classified driver-side from ledger metadata.
+   Only ``merge`` / ``merge_mor`` / ``append`` change logical rows;
+   ``compact`` / ``rescale(_lazy)`` / ``evolve_schema`` rewrite or stamp
+   files without changing any row and are skipped outright.
+2. The union of buckets those commits touched bounds the diff: the
+   pre-image is ``source.scan(version=from_v, buckets=B)`` and the
+   post-image ``source.scan(version=to_v, buckets=B)`` — both bucket-
+   pruned reads, never a full-table scan for a CDC-shaped range.  Rows
+   that did not change between the versions contribute ``(+1, -1)`` pairs
+   that cancel exactly per group, so bucket-level granularity is
+   *correct*, just wider than the true changed-key set.
+3. ``delta = post ⊎ (-1)·pre`` aggregated by the group columns gives the
+   net count/sum change per group; joining it against the view's current
+   rows (bucket-pruned by the delta's own keys) yields new absolute
+   values, groups reaching count 0 become deletes, and the result merges
+   into the view table via the same exactly-once ``merge_changes`` path
+   as any other CDC batch (``batch_id = mv:<from_v>-><to_v>``, LWW
+   ordered by the refreshed source version).
+
+Supported aggregates: ``count`` (count(*)) and ``sum(col)`` — the
+self-maintainable (distributive) ones; averages derive as sum/count at
+read time.  min/max are NOT maintainable from deltas without re-scanning
+whole groups (a group is not bucket-local) and are deliberately out of
+scope.  Float sums accumulate incrementally and may drift from a fresh
+recompute by floating-point reassociation — use integral metrics where
+bit-exact parity matters, or ``rebuild()`` periodically.
+
+Retention contract (mirrors ``streaming/changes.py``): a refresh whose
+range reaches past snapshots expired by ``expire_snapshots`` raises
+:class:`MaterializeRetentionError` — never a silently-wrong view;
+``rebuild()`` re-derives the view from the source's current state alone.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake.ledger import covered_buckets
+from geomesa_nifi_spark.lake.merge import MergeResult, merge_changes
+from geomesa_nifi_spark.lake.table import LakeTable
+
+MV_KEY = "_mv_key"
+MV_VERSION = "_mv_version"
+
+#: source-commit operations that change logical rows; everything else
+#: (create/compact/rescale/rescale_lazy/evolve_schema) only reorganizes
+#: files or metadata and never moves the view
+_DATA_OPS = {"merge", "merge_mor", "append"}
+
+
+class MaterializeRetentionError(RuntimeError):
+    """The refresh range reaches past the source's retention horizon.
+
+    Raised when snapshots inside ``(from_v, to_v]`` were dropped by
+    ``expire_snapshots`` so the incremental diff cannot be reconstructed.
+    The view is NOT corrupted — it still reflects its last refreshed
+    version; call :func:`rebuild` to fast-forward from the source's
+    current state."""
+
+
+def _metric_field(source_schema: T.StructType, name: str, spec) -> T.StructField:
+    kind, col = spec
+    if kind == "count":
+        return T.StructField(name, T.LongType(), False)
+    if kind == "sum":
+        dt = source_schema[col].dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return T.StructField(name, T.LongType(), True)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return T.StructField(name, T.DoubleType(), True)
+        if isinstance(dt, T.DecimalType):
+            return T.StructField(name, T.DecimalType(38, dt.scale), True)
+        raise ValueError(f"sum({col}): unsupped type {dt.simpleString()}")
+    raise ValueError(f"unknown aggregate kind '{kind}' (use 'count' or 'sum')")
+
+
+def _parse_metrics(metrics: dict) -> dict[str, tuple[str, str | None]]:
+    """``{"n": "count", "tokens": ("sum", "token_count")}`` → canonical."""
+    out: dict[str, tuple[str, str | None]] = {}
+    for name, spec in metrics.items():
+        if spec == "count":
+            out[name] = ("count", None)
+        elif isinstance(spec, (tuple, list)) and len(spec) == 2 and spec[0] == "sum":
+            out[name] = ("sum", spec[1])
+        else:
+            raise ValueError(f"metric {name!r}: spec must be 'count' or ('sum', col)")
+    if not any(k == "count" for k, _ in out.values()):
+        raise ValueError("metrics must include a 'count' entry (group liveness)")
+    return out
+
+
+def _mv_key_expr(group_cols: list[str]) -> F.Column:
+    # to_json keeps explicit nulls so (None,) and ("",) key differently;
+    # struct field order fixes the serialization
+    return F.md5(
+        F.to_json(
+            F.struct(*[F.col(c) for c in group_cols]),
+            {"ignoreNullFields": "false"},
+        )
+    )
+
+
+def create_aggregate_view(
+    spark: SparkSession,
+    root: str,
+    source: LakeTable,
+    group_cols: list[str],
+    metrics: dict,
+    num_buckets: int = 32,
+    if_not_exists: bool = False,
+) -> LakeTable:
+    """CREATE the view table (empty, at source version 0).
+
+    ``metrics``: ``{out_col: "count" | ("sum", source_col)}``; exactly the
+    aggregates a later ``SELECT group_cols, metrics FROM view`` returns.
+    Call :func:`refresh` to bring it up to a source version.
+    """
+    canon = _parse_metrics(metrics)
+    src_schema = source.schema()
+    src_names = set(src_schema.fieldNames())
+    for c in group_cols:
+        if c not in src_names:
+            raise ValueError(f"group column '{c}' not in source schema")
+    for name, (kind, col) in canon.items():
+        if kind == "sum" and col not in src_names:
+            raise ValueError(f"metric {name}=sum({col}): column not in source")
+    fields = [
+        T.StructField(MV_KEY, T.StringType(), False),
+        *[src_schema[c] for c in group_cols],
+        *[_metric_field(src_schema, n, s) for n, s in canon.items()],
+        T.StructField(MV_VERSION, T.LongType(), False),
+    ]
+    return LakeTable.create(
+        spark,
+        root,
+        T.StructType(fields),
+        key_col=MV_KEY,
+        ts_col=MV_VERSION,
+        num_buckets=num_buckets,
+        if_not_exists=if_not_exists,
+        properties={
+            "mv.source_root": source.root,
+            "mv.group_cols": json.dumps(group_cols),
+            "mv.metrics": json.dumps({n: list(s) for n, s in canon.items()}),
+        },
+    )
+
+
+def _view_config(view: LakeTable) -> tuple[list[str], dict[str, tuple[str, str | None]]]:
+    props = view.snapshot().properties
+    group_cols = json.loads(props["mv.group_cols"])
+    metrics = {n: (s[0], s[1]) for n, s in json.loads(props["mv.metrics"]).items()}
+    return group_cols, metrics
+
+
+def last_refreshed_version(view: LakeTable) -> int:
+    """The source version the view currently reflects (0 = never refreshed)."""
+    for snap in sorted(view.history(), key=lambda s: s.version, reverse=True):
+        v = (snap.summary.get("lineage") or {}).get("mv_source_version")
+        if v is not None:
+            return int(v)
+    return 0
+
+
+def _map_buckets(buckets: set[int], nb_src: int, nb_dst: int) -> set[int] | None:
+    """Translate a bucket set between moduli; None = incommensurable
+    (caller falls back to a full scan).  Over-approximation is safe — an
+    extra bucket only adds rows whose ± contributions cancel."""
+    if nb_src == nb_dst:
+        return set(buckets)
+    if nb_src % nb_dst == 0:
+        return {b % nb_dst for b in buckets}
+    if nb_dst % nb_src == 0:
+        k = nb_dst // nb_src
+        return {b + i * nb_src for b in buckets for i in range(k)}
+    return None
+
+
+def _touched_in_range(
+    source: LakeTable, from_v: int, to_v: int
+) -> tuple[set[tuple[int, int]], bool]:
+    """(nb, bucket) pairs whose rows may differ in ``(from_v, to_v]``, and
+    whether any data-changing commit exists in the range.  Raises
+    :class:`MaterializeRetentionError` when the range is not fully
+    retained in the ledger."""
+    hist = {s.version: s for s in source.history()}
+    touched: set[tuple[int, int]] = set()
+    any_data = False
+    for v in range(from_v, to_v + 1):
+        if v not in hist:
+            raise MaterializeRetentionError(
+                f"source snapshot v{v} inside refresh range ({from_v}, {to_v}] "
+                f"was expired (expire_snapshots horizon); rebuild() the view"
+            )
+    for v in range(from_v + 1, to_v + 1):
+        snap = hist[v]
+        if snap.summary.get("operation") not in _DATA_OPS:
+            continue
+        any_data = True
+        nb = int(snap.properties["num_buckets"])
+        parent = hist.get(snap.parent_version) if snap.parent_version is not None else None
+        parent_paths = {f.path for f in parent.files} if parent else set()
+        paths = {f.path for f in snap.files}
+        for f in snap.files:
+            if f.path not in parent_paths:
+                touched.update((nb, b) for b in covered_buckets(f, nb))
+        if parent is not None:
+            pnb = int(parent.properties["num_buckets"])
+            for f in parent.files:
+                if f.path not in paths:
+                    # a CoW merge can retire a bucket's only file (all rows
+                    # deleted) without adding a replacement
+                    touched.update((pnb, b) for b in covered_buckets(f, pnb))
+    return touched, any_data
+
+
+def _contributions(
+    df: DataFrame, weight: int, group_cols: list[str], metrics
+) -> DataFrame:
+    cols = [F.col(c) for c in group_cols]
+    mcols = []
+    for name, (kind, col) in metrics.items():
+        if kind == "count":
+            mcols.append(F.lit(weight).cast("long").alias(name))
+        else:
+            mcols.append((F.col(col) * F.lit(weight)).alias(name))
+    return df.select(*cols, *mcols)
+
+
+def refresh(
+    view: LakeTable,
+    source: LakeTable,
+    to_version: int | None = None,
+) -> MergeResult:
+    """Advance the view to ``source`` version ``to_version`` (default: its
+    latest), reading only the buckets the intervening commits touched.
+    Exactly-once: the view commit's batch id encodes the version range, so
+    a replayed refresh skips; concurrent refreshes race on the view's
+    optimistic commit like any writer."""
+    group_cols, metrics = _view_config(view)
+    from_v = last_refreshed_version(view)
+    to_v = source.snapshot().version if to_version is None else int(to_version)
+    if to_v < from_v:
+        raise ValueError(f"view is at source v{from_v}, cannot refresh back to v{to_v}")
+    if to_v == from_v:
+        return MergeResult(snapshot=None, skipped=True, metrics={"reason": "up_to_date"})
+
+    touched, any_data = _touched_in_range(source, from_v, to_v)
+    if not any_data:
+        # metadata-only traffic (compactions, rescales): record the
+        # fast-forward so the next refresh's range starts here, without
+        # touching any data
+        touched = set()
+
+    nb_from = int(source.snapshot(from_v).properties["num_buckets"])
+    nb_to = int(source.snapshot(to_v).properties["num_buckets"])
+    pre_b: set[int] | None = set()
+    post_b: set[int] | None = set()
+    for nb, b in touched:
+        m = _map_buckets({b}, nb, nb_from)
+        pre_b = None if (m is None or pre_b is None) else pre_b | m
+        m = _map_buckets({b}, nb, nb_to)
+        post_b = None if (m is None or post_b is None) else post_b | m
+
+    if (pre_b is not None and not pre_b) and (post_b is not None and not post_b):
+        # no data-changing commit in range: empty delta, but still commit
+        # the version fast-forward below via an empty source frame
+        delta = None
+    else:
+        pre = source.scan(version=from_v, buckets=sorted(pre_b) if pre_b is not None else None)
+        post = source.scan(version=to_v, buckets=sorted(post_b) if post_b is not None else None)
+        contrib = _contributions(post, +1, group_cols, metrics).unionByName(
+            _contributions(pre, -1, group_cols, metrics)
+        )
+        aggs = []
+        for name, (kind, col) in metrics.items():
+            aggs.append(F.coalesce(F.sum(name), F.lit(0)).alias(f"_d_{name}"))
+        delta = contrib.groupBy(*group_cols).agg(*aggs)
+        # groups with an all-zero delta are untouched (cancelled pairs)
+        nonzero = None
+        for name in metrics:
+            c = F.col(f"_d_{name}") != 0
+            nonzero = c if nonzero is None else (nonzero | c)
+        # the delta feeds three consumers (emptiness probe, bucket collect,
+        # the merge source) — materialize it once; it is aggregate-sized
+        # (≤ #touched groups), never batch-sized
+        delta = (
+            delta.filter(nonzero)
+            .withColumn(MV_KEY, _mv_key_expr(group_cols))
+            .persist()
+        )
+
+    batch_id = f"mv:{from_v}->{to_v}"
+    if delta is None or len(delta.take(1)) == 0:
+        src = view.spark.createDataFrame([], view.schema())
+        # merge skips empty batches without committing; fall back to a
+        # zero-row append commit carrying the lineage marker
+        from geomesa_nifi_spark.lake.merge import append_only
+
+        return append_only(
+            view, src, batch_id=batch_id,
+            lineage={"mv_source_version": to_v, "mv_mode": "fast_forward"},
+        )
+
+    # current view rows for the touched groups: bucket-pruned by the
+    # delta's own keys (collect ≤ num_buckets ints, driver-safe)
+    dk = delta.select(
+        view.bucket_expr(key=F.col(MV_KEY)).alias("_b")
+    ).distinct()
+    vbuckets = sorted(r["_b"] for r in dk.collect())
+    cur = view.scan(buckets=vbuckets).select(
+        MV_KEY, *[F.col(n).alias(f"_old_{n}") for n in metrics]
+    )
+    joined = delta.join(cur, on=MV_KEY, how="left")
+
+    new_cols: list[F.Column] = [F.col(MV_KEY)]
+    new_cols += [F.col(c) for c in group_cols]
+    count_name = next(n for n, (k, _) in metrics.items() if k == "count")
+    view_schema = view.schema()
+    for name in metrics:
+        dt = view_schema[name].dataType
+        new_cols.append(
+            (F.coalesce(F.col(f"_old_{name}"), F.lit(0)) + F.col(f"_d_{name}"))
+            .cast(dt)
+            .alias(name)
+        )
+    new_cols.append(F.lit(to_v).cast("long").alias(MV_VERSION))
+    new_cols.append(
+        F.when(
+            (F.coalesce(F.col(f"_old_{count_name}"), F.lit(0)) + F.col(f"_d_{count_name}")) <= 0,
+            F.lit("delete"),
+        )
+        .otherwise(F.lit("upsert"))
+        .alias("op")
+    )
+    rows = joined.select(*new_cols)
+    try:
+        return merge_changes(
+            view,
+            rows,
+            batch_id=batch_id,
+            lineage={"mv_source_version": to_v, "mv_mode": "incremental"},
+        )
+    finally:
+        delta.unpersist()
+
+
+def rebuild(view: LakeTable, source: LakeTable) -> MergeResult:
+    """Recompute the view from the source's CURRENT state alone — the
+    recovery path when :func:`refresh` raises
+    :class:`MaterializeRetentionError`, and the periodic float-drift
+    reset.  One full source aggregate; groups that vanished since the last
+    refresh are deleted via an anti-join against the view's own keys."""
+    group_cols, metrics = _view_config(view)
+    to_v = source.snapshot().version
+    full = source.scan()
+    aggs = []
+    for name, (kind, col) in metrics.items():
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).cast("long").alias(name))
+        else:
+            aggs.append(F.sum(col).alias(name))
+    fresh = (
+        full.groupBy(*group_cols)
+        .agg(*aggs)
+        .withColumn(MV_KEY, _mv_key_expr(group_cols))
+    )
+    gone = (
+        view.scan()
+        .select(MV_KEY, *group_cols)
+        .join(fresh.select(MV_KEY), on=MV_KEY, how="left_anti")
+    )
+    view_schema = view.schema()
+    upserts = fresh.select(
+        MV_KEY,
+        *group_cols,
+        *[F.col(n).cast(view_schema[n].dataType).alias(n) for n in metrics],
+        F.lit(to_v).cast("long").alias(MV_VERSION),
+        F.lit("upsert").alias("op"),
+    )
+    deletes = gone.select(
+        MV_KEY,
+        *group_cols,
+        *[F.lit(None).cast(view_schema[n].dataType).alias(n) for n in metrics],
+        F.lit(to_v).cast("long").alias(MV_VERSION),
+        F.lit("delete").alias("op"),
+    )
+    return merge_changes(
+        view,
+        upserts.unionByName(deletes),
+        batch_id=f"mv:rebuild->{to_v}",
+        lineage={"mv_source_version": to_v, "mv_mode": "rebuild"},
+    )

@@ -127,3 +127,45 @@ def test_cli_lazy_rescale_and_migrate(spark, tmp_path, capsys):
     assert main(["scan", "--table", table, "--where", "url=u1"]) == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 1 and rows[0]["text"] == "v2"
+
+
+def test_cli_mv_create_and_refresh(spark, tmp_path, capsys):
+    table = str(tmp_path / "t")
+    assert main([
+        "create-table", "--table", table,
+        "--schema", "url string, warc_ts timestamp, offset long, text string",
+        "--key", "url", "--ts", "warc_ts", "--tiebreak", "offset",
+        "--buckets", "4",
+    ]) == 0
+    _write_changes(spark, tmp_path / "changes")
+    assert main([
+        "replay", "--table", table, "--source", str(tmp_path / "changes"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--no-extract",
+        "--max-files-per-trigger", "10",
+    ]) == 0
+    capsys.readouterr()
+
+    view = str(tmp_path / "mv")
+    assert main([
+        "mv-create", "--view", view, "--source", table,
+        "--group-by", "text", "--sum", "total=offset", "--buckets", "2",
+    ]) == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["metrics"] == ["n", "total"]
+
+    assert main(["mv-refresh", "--view", view]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out["skipped"] and out["source_version"] > 0
+
+    # refresh again with no new source commits -> skip, version unchanged
+    assert main(["mv-refresh", "--view", view]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["skipped"] and again["view_version"] == out["view_version"]
+
+    from geomesa_nifi_spark.lake import LakeTable
+
+    got = {
+        (r["text"], r["n"], r["total"])
+        for r in LakeTable(spark, view).scan().select("text", "n", "total").collect()
+    }
+    assert got == {("v2", 1, 3), ("w1", 1, 2)}

@@ -1,0 +1,234 @@
+"""Incremental materialized aggregates (lake/materialize.py): refresh
+deltas vs a full-recompute oracle, delete/insert/update group transitions,
+fast-forward over metadata-only commits, exactly-once refresh, retention
+contract, rebuild recovery."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake import (
+    LakeTable,
+    MaterializeRetentionError,
+    compact,
+    create_aggregate_view,
+    last_refreshed_version,
+    merge_changes,
+    rebuild,
+    refresh,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("tokens", T.LongType()),
+    ]
+)
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(i))
+
+
+def ev(url, i, lang, tokens, op="upsert"):
+    return Row(url=url, warc_ts=ts(i), offset=int(i), lang=lang,
+               tokens=int(tokens), op=op)
+
+
+def make_source(spark, tmp_path, mode_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset",
+        num_buckets=mode_buckets,
+    )
+
+
+def make_view(spark, tmp_path, source):
+    return create_aggregate_view(
+        spark, str(tmp_path / "mv"), source,
+        group_cols=["lang"],
+        metrics={"n": "count", "tok": ("sum", "tokens")},
+        num_buckets=4,
+    )
+
+
+def apply(spark, source, rows, bid, mode="cow"):
+    df = spark.createDataFrame(
+        rows, T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())])
+    )
+    return merge_changes(source, df, batch_id=bid, mode=mode, auto_compact=False)
+
+
+def view_state(view):
+    return {
+        r["lang"]: (r["n"], r["tok"])
+        for r in view.scan().select("lang", "n", "tok").collect()
+    }
+
+
+def oracle(source):
+    rows = (
+        source.scan()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens").alias("tok"))
+        .collect()
+    )
+    return {r["lang"]: (r["n"], r["tok"]) for r in rows}
+
+
+def test_refresh_matches_recompute_through_transitions(spark, tmp_path):
+    """Insert / update-in-group / update-across-group / delete, refreshed
+    incrementally after each batch, always equals the full recompute."""
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+
+    apply(spark, source, [ev("a", 1, "en", 10), ev("b", 1, "en", 20),
+                          ev("c", 1, "de", 5)], "b1")
+    refresh(view, source)
+    assert view_state(view) == oracle(source) == {"en": (2, 30), "de": (1, 5)}
+
+    # update inside a group (tokens change) + across groups (b: en -> fr)
+    apply(spark, source, [ev("a", 2, "en", 15), ev("b", 2, "fr", 20)], "b2")
+    refresh(view, source)
+    assert view_state(view) == oracle(source) == {
+        "en": (1, 15), "fr": (1, 20), "de": (1, 5)}
+
+    # delete the last member of a group -> group row deleted from the view
+    apply(spark, source, [ev("c", 3, "de", 5, op="delete")], "b3")
+    refresh(view, source)
+    st = view_state(view)
+    assert st == oracle(source)
+    assert "de" not in st
+
+    # resurrection re-inserts the group
+    apply(spark, source, [ev("c", 4, "de", 7)], "b4")
+    refresh(view, source)
+    assert view_state(view) == oracle(source) == {
+        "en": (1, 15), "fr": (1, 20), "de": (1, 7)}
+
+
+def test_refresh_multi_batch_range_and_mor(spark, tmp_path):
+    """One refresh spanning several MoR commits equals the recompute."""
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+    apply(spark, source, [ev("a", 1, "en", 1), ev("b", 1, "de", 2)], "b1", mode="mor")
+    apply(spark, source, [ev("a", 2, "fr", 3)], "b2", mode="mor")
+    apply(spark, source, [ev("b", 3, "de", 9), ev("d", 3, "de", 4)], "b3", mode="mor")
+    r = refresh(view, source)
+    assert not r.skipped
+    assert view_state(view) == oracle(source) == {"fr": (1, 3), "de": (2, 13)}
+
+
+def test_refresh_exactly_once_and_monotonic(spark, tmp_path):
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+    apply(spark, source, [ev("a", 1, "en", 1)], "b1")
+    v = source.snapshot().version
+    refresh(view, source, to_version=v)
+    ver = view.snapshot().version
+    # same range again -> batch-id skip, view version unchanged
+    r = refresh(view, source, to_version=v)
+    assert r.skipped and view.snapshot().version == ver
+    assert last_refreshed_version(view) == v
+    with pytest.raises(ValueError):
+        refresh(view, source, to_version=v - 1)
+
+
+def test_fast_forward_over_metadata_only_commits(spark, tmp_path):
+    """Compaction/rescale commits move no rows: refresh fast-forwards the
+    version marker without writing data rows."""
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+    apply(spark, source, [ev("a", 1, "en", 1), ev("b", 1, "de", 2)], "b1", mode="mor")
+    refresh(view, source)
+    before = view_state(view)
+
+    compact(source)
+    source.rescale(8, lazy=True)
+    r = refresh(view, source)
+    assert last_refreshed_version(view) == source.snapshot().version
+    assert view_state(view) == before == oracle(source)
+
+
+def test_refresh_across_lazy_rescale_with_data(spark, tmp_path):
+    """Range containing a lazy rescale AND data commits on the new modulus
+    still diffs correctly (bucket sets mapped between moduli)."""
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+    apply(spark, source, [ev("a", 1, "en", 1), ev("b", 1, "de", 2)], "b1")
+    source.rescale(8, lazy=True)
+    apply(spark, source, [ev("a", 2, "en", 5), ev("c", 2, "fr", 3)], "b2")
+    refresh(view, source)
+    assert view_state(view) == oracle(source) == {
+        "en": (1, 5), "de": (1, 2), "fr": (1, 3)}
+
+
+def test_retention_error_and_rebuild(spark, tmp_path):
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+    for i in range(12):
+        apply(spark, source, [ev(f"k{i}", i + 1, "en", i)], f"b{i}")
+    source.expire_snapshots(keep_last=3)
+    with pytest.raises(MaterializeRetentionError):
+        refresh(view, source)
+    rebuild(view, source)
+    assert view_state(view) == oracle(source)
+    # after rebuild, incremental refresh picks up from the current version
+    apply(spark, source, [ev("k0", 100, "de", 42)], "bx")
+    refresh(view, source)
+    assert view_state(view) == oracle(source)
+
+
+def test_rebuild_deletes_vanished_groups(spark, tmp_path):
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+    apply(spark, source, [ev("a", 1, "en", 1), ev("b", 1, "de", 2)], "b1")
+    refresh(view, source)
+    apply(spark, source, [ev("b", 2, "de", 2, op="delete")], "b2")
+    rebuild(view, source)
+    assert view_state(view) == oracle(source) == {"en": (1, 1)}
+
+
+def test_null_group_values_key_distinctly(spark, tmp_path):
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+    apply(spark, source, [ev("a", 1, None, 1), ev("b", 1, "", 2)], "b1")
+    refresh(view, source)
+    st = view_state(view)
+    assert st == oracle(source)
+    assert st[None] == (1, 1) and st[""] == (1, 2)
+
+
+def test_refresh_prunes_source_read(spark, tmp_path):
+    """The pre/post scans read only the buckets touched by the range, not
+    the whole source — the scale contract."""
+    source = make_source(spark, tmp_path, mode_buckets=8)
+    view = make_view(spark, tmp_path, source)
+    rows = [ev(f"k{i}", 1, "en", i) for i in range(64)]
+    apply(spark, source, rows, "b1")
+    refresh(view, source)
+    from_v = source.snapshot().version
+    apply(spark, source, [ev("k1", 2, "fr", 99)], "b2")
+    to_v = source.snapshot().version
+
+    from geomesa_nifi_spark.lake.materialize import _map_buckets, _touched_in_range
+
+    touched, any_data = _touched_in_range(source, from_v, to_v)
+    assert any_data
+    nb = int(source.snapshot(to_v).properties["num_buckets"])
+    want = {b for (m, b) in touched}
+    all_b = {f.bucket for f in source.snapshot(to_v).files}
+    assert len(want) < len(all_b), "single-key batch must not touch every bucket"
+    # and the mapped scan file set is smaller than the full snapshot
+    files = source.candidate_files(buckets=sorted(want), snapshot=source.snapshot(to_v))
+    assert len(files) < len(source.snapshot(to_v).files)
+    refresh(view, source)
+    assert view_state(view) == oracle(source)
