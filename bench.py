@@ -370,6 +370,55 @@ def main() -> None:
     t_cow = run_cow_replay(spark, text_changes, os.path.join(work, "t-cow"), n_batches=4)
     queries["cdc_merge_replay_cow"] = round(t_cow, 3)
 
+    # incremental MV maintenance (lake/materialize.py): the derived-table
+    # refresh after one CDC batch must cost like the batch, not the table —
+    # measured against the from-scratch rebuild on the same populated table
+    from geomesa_nifi_spark.lake import (
+        LakeTable,
+        create_aggregate_view,
+        merge_changes as _merge_changes,
+        rebuild as _mv_rebuild,
+        refresh as _mv_refresh,
+    )
+
+    mor_table = LakeTable(spark, os.path.join(work, "t-mor"))
+    mv = create_aggregate_view(
+        spark, os.path.join(work, "t-mor-mv"), mor_table,
+        group_cols=["lang"], metrics={"n": "count", "sum_off": ("sum", "offset")},
+    )
+    t0 = time.monotonic()
+    _mv_rebuild(mv, mor_table)
+    t_mv_rebuild = time.monotonic() - t0
+    queries["mv_rebuild"] = round(t_mv_rebuild, 3)
+    # one CDC-shaped update batch: key-concentrated (4 of 64 buckets — the
+    # hot-domain shape), newer LWW order keys.  The refresh's pre/post
+    # scans are bucket-pruned to the touched 1/16th of the table; a
+    # uniformly-sampled batch at this toy bucket count would touch every
+    # bucket and time the degenerate full-diff case instead of the
+    # mechanism (at production bucket counts even uniform batches prune).
+    extra = (
+        spark.read.parquet(text_changes)
+        .filter(F.pmod(F.xxhash64(F.col("url")), F.lit(64)) < 4)
+        .filter(F.pmod(F.col("offset"), F.lit(8)) == 0)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn("offset", F.col("offset") + F.lit(100_000_000))
+    )
+    n_extra = extra.count()
+    _merge_changes(mor_table, extra, batch_id="bench-mv-extra",
+                   collect_metrics=False, mode="mor")
+    t0 = time.monotonic()
+    _mv_refresh(mv, mor_table)
+    t_mv_refresh = time.monotonic() - t0
+    queries["mv_incremental_refresh"] = round(t_mv_refresh, 3)
+    mv_bench = {
+        "rebuild_sec": round(t_mv_rebuild, 3),
+        "incremental_refresh_sec": round(t_mv_refresh, 3),
+        "refresh_batch_events": n_extra,
+        "refresh_touched_buckets": "4 of 64",
+        "table_events": n_events,
+        "speedup_vs_rebuild": round(t_mv_rebuild / max(t_mv_refresh, 1e-9), 1),
+    }
+
     # operator headliners on the driver's sf tables
     import __spark_entry__ as entry
 
@@ -484,6 +533,7 @@ def main() -> None:
             "parallelism": cpus,
         },
         "kafka_avro": kafka_avro,
+        "materialized_view": mv_bench,
         "scaling": scaling,
     }
     print(json.dumps(out))

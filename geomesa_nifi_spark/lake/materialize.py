@@ -267,15 +267,32 @@ def refresh(
         # touching any data
         touched = set()
 
+    # Cancellation of unchanged rows requires the pre and post scans to
+    # cover EXACTLY the same key set.  Bucket sets under different moduli
+    # cover different key supersets (a shrink mapping widens one side
+    # only), so: canonicalize every touched bucket to a residue of the
+    # COARSER of the two endpoint moduli, then expand those residues to
+    # each endpoint — both scans then cover precisely
+    # {k : hash(k) mod coarse ∈ residues}.  Anything incommensurable
+    # (an eager rescale in range) degrades BOTH sides to a full scan.
     nb_from = int(source.snapshot(from_v).properties["num_buckets"])
     nb_to = int(source.snapshot(to_v).properties["num_buckets"])
-    pre_b: set[int] | None = set()
-    post_b: set[int] | None = set()
-    for nb, b in touched:
-        m = _map_buckets({b}, nb, nb_from)
-        pre_b = None if (m is None or pre_b is None) else pre_b | m
-        m = _map_buckets({b}, nb, nb_to)
-        post_b = None if (m is None or post_b is None) else post_b | m
+    if nb_from % nb_to == 0 or nb_to % nb_from == 0:
+        coarse = min(nb_from, nb_to)
+        residues: set[int] | None = set()
+        for nb, b in touched:
+            m = _map_buckets({b}, nb, coarse)
+            if m is None:
+                residues = None
+                break
+            residues |= m
+    else:
+        residues = None
+    if residues is None:
+        pre_b = post_b = None
+    else:
+        pre_b = _map_buckets(residues, coarse, nb_from)
+        post_b = _map_buckets(residues, coarse, nb_to)
 
     if (pre_b is not None and not pre_b) and (post_b is not None and not post_b):
         # no data-changing commit in range: empty delta, but still commit

@@ -63,6 +63,7 @@ def run_file_replay(
     fail_after_batches: int | None = None,
     quarantine_dir: str | None = None,
     required_cols: tuple[str, ...] = ("url", "warc_ts"),
+    refresh_views: list[LakeTable] | None = None,
 ) -> ReplayStats:
     """Replay parquet change files through the CDC pipeline until drained.
 
@@ -79,6 +80,12 @@ def run_file_replay(
     the reference's literal order (convert every record, then write) — it is
     required for the append path and when the quarantine rules inspect
     extracted columns.
+
+    ``refresh_views``: incremental materialized views (``lake/materialize``)
+    advanced to the table head after every micro-batch.  Refresh is
+    range-based and exactly-once, so a crash between the table commit and
+    the view refresh self-heals: the next batch's refresh simply covers
+    both versions.
     """
     # mergeSchema: replay directories may mix files written before and after
     # an additive schema change (SURVEY §7 hard-part 3); older files are
@@ -161,6 +168,10 @@ def run_file_replay(
                 mode="mor" if write_mode == "mor" else "cow",
                 post_dedup_transform=transform,
             )
+        for view in refresh_views or []:
+            from geomesa_nifi_spark.lake.materialize import refresh
+
+            refresh(view, table)
         rows = sum(r["rows"] for r in offset_ranges) if offset_ranges else 0
         stats.batches += 1
         stats.skipped += 1 if result.skipped else 0

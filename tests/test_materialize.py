@@ -232,3 +232,54 @@ def test_refresh_prunes_source_read(spark, tmp_path):
     assert len(files) < len(source.snapshot(to_v).files)
     refresh(view, source)
     assert view_state(view) == oracle(source)
+
+
+def test_refresh_across_eager_rescale_falls_back_to_full(spark, tmp_path):
+    """An eager rescale inside the range makes bucket sets incommensurable
+    (4 -> 6 is not an integer factor): refresh must fall back to full
+    pre/post scans and still match."""
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+    apply(spark, source, [ev("a", 1, "en", 1), ev("b", 1, "de", 2)], "b1")
+    refresh(view, source)
+    source.rescale(6)
+    apply(spark, source, [ev("a", 2, "fr", 9), ev("c", 2, "de", 4)], "b2")
+    refresh(view, source)
+    assert view_state(view) == oracle(source) == {
+        "fr": (1, 9), "de": (2, 6)}
+
+
+def test_refresh_pruning_sound_when_residues_split(spark, tmp_path):
+    """Regression: after a lazy rescale 4 -> 8, a commit touching only
+    bucket b (mod 8) must not decrement unchanged keys in the sibling
+    bucket b+4 (mod 8) — pre/post scans have to cover identical key sets
+    even though their moduli differ."""
+    source = make_source(spark, tmp_path)
+    view = make_view(spark, tmp_path, source)
+
+    # deterministically find two keys that collide mod 4 but split mod 8
+    cand = [f"url{i}" for i in range(64)]
+    hs = {
+        r["u"]: (r["b4"], r["b8"])
+        for r in spark.createDataFrame([(c,) for c in cand], "u string")
+        .select("u", F.pmod(F.xxhash64("u"), F.lit(4)).alias("b4"),
+                F.pmod(F.xxhash64("u"), F.lit(8)).alias("b8"))
+        .collect()
+    }
+    pair = None
+    for a in cand:
+        for b in cand:
+            if a != b and hs[a][0] == hs[b][0] and hs[a][1] != hs[b][1]:
+                pair = (a, b)
+                break
+        if pair:
+            break
+    changed, untouched = pair
+
+    apply(spark, source, [ev(changed, 1, "en", 10), ev(untouched, 1, "de", 7)], "b1")
+    refresh(view, source)
+    source.rescale(8, lazy=True)
+    # MoR: no sibling closure, so only `changed`'s mod-8 bucket is touched
+    apply(spark, source, [ev(changed, 2, "fr", 3)], "b2", mode="mor")
+    refresh(view, source)
+    assert view_state(view) == oracle(source) == {"fr": (1, 3), "de": (1, 7)}

@@ -305,3 +305,30 @@ def test_kafka_option_mapping():
     with pytest.raises(KafkaConfigError):
         kafka_source_options({"brokers": "b", "topic": "t", "group-id": "g",
                               "batch-size": 0})
+
+
+def test_streaming_view_refresh_with_crash_resume(spark, tmp_path, replay_dir):
+    """A materialized view attached to the replay stays consistent through
+    a mid-stream crash: the post-resume refresh covers the versions the
+    crashed run committed but never refreshed."""
+    from geomesa_nifi_spark.lake import create_aggregate_view
+
+    t = make_table(spark, tmp_path)
+    view = create_aggregate_view(
+        spark, str(tmp_path / "mv"), t,
+        group_cols=["lang"], metrics={"n": "count"}, num_buckets=4,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_file_replay(
+        spark, t, replay_dir, ckpt, pipeline_id="p1",
+        fail_after_batches=2, refresh_views=[view],
+    )
+    run_file_replay(
+        spark, t, replay_dir, ckpt, pipeline_id="p1", refresh_views=[view],
+    )
+    got = {r["lang"]: r["n"] for r in view.scan().select("lang", "n").collect()}
+    want = {
+        r["lang"]: r["n"]
+        for r in t.scan().groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and sum(got.values()) == expected_final_count(spark, replay_dir)
