@@ -85,7 +85,7 @@ def _metric_field(source_schema: T.StructType, name: str, spec) -> T.StructField
             return T.StructField(name, T.DoubleType(), True)
         if isinstance(dt, T.DecimalType):
             return T.StructField(name, T.DecimalType(38, dt.scale), True)
-        raise ValueError(f"sum({col}): unsupped type {dt.simpleString()}")
+        raise ValueError(f"sum({col}): unsupported type {dt.simpleString()}")
     raise ValueError(f"unknown aggregate kind '{kind}' (use 'count' or 'sum')")
 
 
@@ -301,6 +301,19 @@ def refresh(
     else:
         pre = source.scan(version=from_v, buckets=sorted(pre_b) if pre_b is not None else None)
         post = source.scan(version=to_v, buckets=sorted(post_b) if post_b is not None else None)
+        # schema evolution edge: a view may group/sum on a column ADDED
+        # after from_v — snapshots before the evolution lack it entirely;
+        # pad with typed nulls (exactly the value evolved reads give old
+        # rows) so the diff stays well-formed
+        src_schema = source.schema()
+        needed = set(group_cols) | {c for (_k, c) in metrics.values() if c}
+
+        def _pad(df: DataFrame) -> DataFrame:
+            for c in sorted(needed - set(df.columns)):
+                df = df.withColumn(c, F.lit(None).cast(src_schema[c].dataType))
+            return df
+
+        pre, post = _pad(pre), _pad(post)
         contrib = _contributions(post, +1, group_cols, metrics).unionByName(
             _contributions(pre, -1, group_cols, metrics)
         )
@@ -324,6 +337,8 @@ def refresh(
 
     batch_id = f"mv:{from_v}->{to_v}"
     if delta is None or len(delta.take(1)) == 0:
+        if delta is not None:
+            delta.unpersist()
         src = view.spark.createDataFrame([], view.schema())
         # merge skips empty batches without committing; fall back to a
         # zero-row append commit carrying the lineage marker

@@ -283,3 +283,30 @@ def test_refresh_pruning_sound_when_residues_split(spark, tmp_path):
     apply(spark, source, [ev(changed, 2, "fr", 3)], "b2", mode="mor")
     refresh(view, source)
     assert view_state(view) == oracle(source) == {"fr": (1, 3), "de": (1, 7)}
+
+
+def test_view_on_evolved_column_refreshes_from_v0(spark, tmp_path):
+    """A view grouping on a column ADDED by schema evolution must refresh
+    across pre-evolution snapshots (old versions lack the column; padded
+    with nulls exactly like evolved reads of old files)."""
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"),
+        T.StructType([f for f in SCHEMA.fields if f.name != "lang"]),
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+    )
+    old_rows = [
+        Row(url="a", warc_ts=ts(1), offset=1, tokens=5, op="upsert"),
+        Row(url="b", warc_ts=ts(1), offset=2, tokens=6, op="upsert"),
+    ]
+    df = spark.createDataFrame(
+        old_rows,
+        T.StructType([f for f in SCHEMA.fields if f.name != "lang"]
+                     + [T.StructField("op", T.StringType())]),
+    )
+    merge_changes(source, df, batch_id="b1", auto_compact=False)
+    source.evolve_schema(SCHEMA)  # adds lang
+    apply(spark, source, [ev("c", 2, "en", 7)], "b2")
+
+    view = make_view(spark, tmp_path, source)
+    refresh(view, source)  # range spans the pre-evolution commit
+    assert view_state(view) == oracle(source) == {None: (2, 11), "en": (1, 7)}
