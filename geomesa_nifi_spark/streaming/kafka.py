@@ -113,6 +113,12 @@ KAFKA_RECORD_SCHEMA = (
     "timestamp timestamp, timestampType int"
 )
 
+#: Microsecond-precision ISO-8601 for JSON message values.  Spark's default
+#: ``timestampFormat`` truncates to milliseconds, which silently breaks the
+#: produce→consume identity on microsecond event times (LWW tiebreaks flip);
+#: both the producer encode and the consumer decode pin this format.
+_JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def kafka_records_to_changes(
     df, value_schema, include_lineage: bool = True, value_format: str = "json"
@@ -137,7 +143,11 @@ def kafka_records_to_changes(
 
     if value_format == "json":
         out = df.select(
-            F.from_json(F.col("value").cast("string"), value_schema).alias("r"),
+            F.from_json(
+                F.col("value").cast("string"),
+                value_schema,
+                {"timestampFormat": _JSON_TS_FORMAT},
+            ).alias("r"),
             F.col("partition").alias("_kafka_partition"),
             F.col("offset").alias("_kafka_offset"),
         )
@@ -199,3 +209,120 @@ def read_kafka_stream(spark, config: dict):
     for k, v in plan.options.items():
         reader = reader.option(k, v)
     return reader.load(), plan
+
+
+# ---------------------------------------------------------------------------
+# producer side (PutGeoMesaKafka / KafkaDataStoreService, the egress sink)
+# ---------------------------------------------------------------------------
+
+_SERIALIZATION_TYPES = ("json", "avro")
+
+
+def kafka_sink_options(config: dict) -> KafkaPlan:
+    """Translate reference-style PRODUCER properties to Spark Kafka sink
+    options (``KafkaDataStoreService.scala:27-47`` — Brokers,
+    ProducerConfig, SerializationType; the reference's GeoMesa Kafka store
+    in producer mode, consumer count pinned to 0 at ``:23-25``).
+
+    ``config`` keys: brokers (required), topic (required),
+    serialization-type (json|avro, default json), producer-config (dict of
+    raw kafka producer properties, passed through as ``kafka.*``).
+    Topic partition/replication counts (``TopicPartitions``/
+    ``TopicReplication``) are broker-admin concerns the Spark writer cannot
+    apply — create the topic out of band, exactly like the reference's
+    store does on ``createSchema``."""
+    missing = [k for k in ("brokers", "topic") if not config.get(k)]
+    if missing:
+        raise KafkaConfigError(f"missing required kafka sink config: {missing}")
+    ser = str(config.get("serialization-type", "json")).lower()
+    if ser not in _SERIALIZATION_TYPES:
+        raise KafkaConfigError(
+            f"serialization-type must be one of {_SERIALIZATION_TYPES}, got {ser!r}"
+        )
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": str(config["brokers"]),
+        "topic": str(config["topic"]),
+    }
+    for k, v in dict(config.get("producer-config") or {}).items():
+        opts[f"kafka.{k}"] = str(v)
+    return KafkaPlan(
+        options=opts,
+        trigger_processing_time=None,
+        checkpoint_suffix=f"kafka-sink-{config['topic']}",
+    )
+
+
+def changes_to_kafka_records(
+    df,
+    key_col: str,
+    value_format: str = "json",
+    records_per_message: int = 500,
+):
+    """Encode change rows into Kafka (key, value) pairs — the inverse of
+    :func:`kafka_records_to_changes`, so a produce/consume round trip is
+    the identity (contract-tested without a broker).
+
+    ``value_format="json"``: one message per row, key = the row's key
+    column bytes, value = JSON — pure codegen, the scale path.
+    ``value_format="avro"``: rows batch into self-describing GeoAvro
+    object-container messages of up to ``records_per_message`` records
+    (the reference's GeoAvro-over-Kafka shape); key = null (the container
+    carries the fids).  Message framing is per input partition, so
+    producing never shuffles."""
+    from pyspark.sql import functions as F
+
+    if value_format == "json":
+        return df.select(
+            F.col(key_col).cast("string").cast("binary").alias("key"),
+            F.to_json(
+                F.struct(*df.columns), {"timestampFormat": _JSON_TS_FORMAT}
+            ).cast("binary").alias("value"),
+        )
+    if value_format != "avro":
+        raise KafkaConfigError(f"value_format must be json|avro, got {value_format!r}")
+
+    schema = df.schema
+
+    def encode(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        from geomesa_nifi_spark.functions.avro import _encode_container
+
+        names = [f.name for f in schema.fields]
+        out_pa = pa.schema([("key", pa.binary()), ("value", pa.binary())])
+        pending: list[dict] = []
+
+        def message(rows):
+            # deterministic sync marker: retried tasks re-produce
+            # byte-identical messages (at-least-once redelivery dedupes
+            # downstream on content, not luck)
+            seed = hashlib.md5(repr([r.get(names[0]) for r in rows[:3]]).encode())
+            data = _encode_container(schema, rows, sync=seed.digest())
+            return {"key": None, "value": data}
+
+        for batch in batches:
+            # to_pylist: Python-native values (datetime/int/bytes) — the
+            # exact row shape the container encoder is written against
+            for rec in batch.to_pylist():
+                pending.append({n: rec[n] for n in names})
+                if len(pending) >= records_per_message:
+                    yield pa.RecordBatch.from_pylist([message(pending)], schema=out_pa)
+                    pending = []
+        if pending:
+            yield pa.RecordBatch.from_pylist([message(pending)], schema=out_pa)
+
+    return df.mapInArrow(encode, "key binary, value binary")
+
+
+def write_kafka_stream(df, config: dict, checkpoint_dir: str):
+    """Start a streaming write to Kafka (requires the spark-sql-kafka jar).
+
+    ``df`` must already have ``key``/``value`` binary columns
+    (:func:`changes_to_kafka_records`)."""
+    plan = kafka_sink_options(config)
+    writer = df.writeStream.format("kafka").option("checkpointLocation", checkpoint_dir)
+    for k, v in plan.options.items():
+        writer = writer.option(k, v)
+    return writer.start(), plan

@@ -168,3 +168,85 @@ def test_kafka_value_format_validation(spark):
     df = spark.createDataFrame([], KAFKA_RECORD_SCHEMA)
     with _pytest.raises(KafkaConfigError, match="value_format"):
         kafka_records_to_changes(df, VALUE_SCHEMA, value_format="csv")
+
+
+def _changes_df(spark, n=10):
+    rows = [
+        (f"u{i}", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), i,
+         f"t{i}", "delete" if i % 5 == 0 else "upsert")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, VALUE_SCHEMA)
+
+
+def test_producer_roundtrip_json(spark):
+    """changes -> (key,value) JSON messages -> decode = identity; the
+    produce path is pure codegen (no Python UDF in the plan)."""
+    from geomesa_nifi_spark.streaming.kafka import changes_to_kafka_records
+
+    ch = _changes_df(spark)
+    recs = changes_to_kafka_records(ch, key_col="url", value_format="json")
+    assert recs.columns == ["key", "value"]
+    assert "mapInPandas" not in recs._jdf.queryExecution().executedPlan().toString()
+    keys = {bytes(r["key"]).decode() for r in recs.collect()}
+    assert keys == {f"u{i}" for i in range(10)}
+
+    # round-trip through the consumer decode (schema needs kafka cols)
+    from pyspark.sql import functions as F
+
+    kafka_shaped = recs.select(
+        "key", "value", F.lit("pages").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
+    )
+    back = kafka_records_to_changes(kafka_shaped, VALUE_SCHEMA, include_lineage=False)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ch.collect()}
+
+
+def test_producer_roundtrip_avro_batched(spark):
+    """changes -> GeoAvro container messages (3 records/message) ->
+    consumer decode = identity; message count reflects the batching."""
+    from geomesa_nifi_spark.streaming.kafka import changes_to_kafka_records
+
+    ch = _changes_df(spark, n=10).repartition(1)
+    recs = changes_to_kafka_records(
+        ch, key_col="url", value_format="avro", records_per_message=3
+    )
+    collected = recs.collect()
+    assert len(collected) == 4  # ceil(10/3) messages, one input partition
+    assert all(r["key"] is None for r in collected)
+
+    from pyspark.sql import functions as F
+
+    kafka_shaped = recs.select(
+        "key", "value", F.lit("pages").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
+    )
+    back = kafka_records_to_changes(
+        kafka_shaped, VALUE_SCHEMA, include_lineage=False, value_format="avro"
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ch.collect()}
+
+
+def test_kafka_sink_options_mapping(spark):
+    import pytest as _pytest
+
+    from geomesa_nifi_spark.streaming.kafka import KafkaConfigError, kafka_sink_options
+
+    plan = kafka_sink_options({
+        "brokers": "b1:9092,b2:9092", "topic": "pages",
+        "serialization-type": "avro",
+        "producer-config": {"acks": "all", "linger.ms": 5},
+    })
+    assert plan.options["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert plan.options["topic"] == "pages"
+    assert plan.options["kafka.acks"] == "all"
+    assert plan.options["kafka.linger.ms"] == "5"
+
+    with _pytest.raises(KafkaConfigError, match="missing"):
+        kafka_sink_options({"topic": "pages"})
+    with _pytest.raises(KafkaConfigError, match="serialization-type"):
+        kafka_sink_options({"brokers": "b", "topic": "t", "serialization-type": "kryo"})
