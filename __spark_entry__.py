@@ -748,6 +748,54 @@ FROM lww WHERE rn = 1
 """
 
 
+def _changes_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store→topic→records egress: one committed batch's changelog encoded
+    as GeoAvro-container Kafka messages (``table_changes_to_kafka``, the
+    reference's Kafka producer store) and decoded back through the consumer
+    path (``kafka_records_to_changes``) — the whole produce/consume pair
+    must be the identity, so the decoded rows hash-match the same DuckDB
+    LWW changelog oracle the direct read does."""
+    from geomesa_nifi_spark.streaming.kafka import (
+        kafka_records_to_changes,
+        table_changes_to_kafka,
+    )
+
+    table = _replay_table(spark, sf_dir, [1, 3, 0, 2], mode="mor")
+    snap = next(
+        s for s in table.history() if s.summary.get("batch_id") == "entry-2"
+    )
+    recs, value_schema = table_changes_to_kafka(
+        table,
+        from_version=snap.parent_version,
+        to_version=snap.version,
+        value_format="avro",
+        records_per_message=100,
+        include_lineage=False,
+    )
+    shaped = recs.select(
+        "key",
+        "value",
+        F.lit("pages").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    back = kafka_records_to_changes(
+        shaped, value_schema, include_lineage=False, value_format="avro"
+    )
+    return back.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+        F.when(F.col("op") == "delete", "delete")
+        .otherwise("insert_or_update")
+        .alias("change_type"),
+    )
+
+
 def _visibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level visibility (Accumulo-style expressions, converter option
     ``visibilities-col``): LWW state filtered to the caller's auth set
@@ -1374,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stateful_lww": _stateful_lww,
         "cdc_append_only": _append_only_q,
         "cdc_changelog": _changelog_read,
+        "cdc_changes_kafka": _changes_kafka_roundtrip,
         "cdc_visibility": _visibility_filter,
         "events_windowed_activity": _events_windowed_activity,
         # conversion layer (SURVEY §2.2)
@@ -1420,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stateful_lww": _STATEFUL_LWW_SQL,
         "cdc_append_only": _APPEND_ONLY_SQL,
         "cdc_changelog": _CHANGELOG_SQL,
+        "cdc_changes_kafka": _CHANGELOG_SQL,
         "cdc_visibility": _VISIBILITY_SQL,
         "avro_roundtrip": _AVRO_ROUNDTRIP_SQL,
         "events_windowed_activity": _WINDOWED_SQL,

@@ -316,6 +316,53 @@ def changes_to_kafka_records(
     return df.mapInArrow(encode, "key binary, value binary")
 
 
+def table_changes_to_kafka(
+    table,
+    from_version: int = 0,
+    to_version: int | None = None,
+    value_format: str = "json",
+    records_per_message: int = 500,
+    include_lineage: bool = True,
+):
+    """Encode a table's changelog as Kafka messages — the full store→topic
+    egress the reference runs as a GeoMesa Kafka store in producer mode
+    (``KafkaDataStoreService`` feeding ``GetGeoMesaKafkaRecord`` consumers).
+
+    Composition: :func:`~geomesa_nifi_spark.streaming.changes.table_changes`
+    (ledger-driven change rows for versions ``(from_version, to_version]``)
+    → ``_change_type`` folded into the engine's ``op`` column convention →
+    :func:`changes_to_kafka_records`.  The produced messages decode back to
+    the exact change rows with :func:`kafka_records_to_changes` (contract:
+    ``tests/test_kafka_contract.py``; gate ``cdc_changes_kafka``).
+
+    ``include_lineage`` keeps ``_commit_version``/``_batch_id`` in the
+    message payload so consumers can resume from a table version.  Returns
+    ``(messages_df, value_schema)``: feed ``messages_df`` to
+    :func:`write_kafka_stream` / a batch Kafka write, and hand
+    ``value_schema`` to consumers for the JSON decode path.
+    """
+    from pyspark.sql import functions as F
+
+    from geomesa_nifi_spark.streaming.changes import table_changes
+
+    ch = table_changes(table, from_version=from_version, to_version=to_version)
+    df = ch.withColumn(
+        "op",
+        F.when(F.col("_change_type") == "delete", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    ).drop("_change_type")
+    if not include_lineage:
+        df = df.drop("_commit_version", "_batch_id")
+    recs = changes_to_kafka_records(
+        df,
+        key_col=table.key_col,
+        value_format=value_format,
+        records_per_message=records_per_message,
+    )
+    return recs, df.schema
+
+
 def write_kafka_stream(df, config: dict, checkpoint_dir: str):
     """Start a streaming write to Kafka (requires the spark-sql-kafka jar).
 
