@@ -573,6 +573,38 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered compaction (``compact(cluster_by=[...])``,
+    lake/cluster.py — Delta OPTIMIZE-ZORDER-shaped layout rewrite), then an
+    attribute-predicate scan over the clustered files: the rewrite must
+    preserve the LWW state exactly (the oracle is the same predicate over
+    the LWW CTE), while the per-file zone maps now exclude most files —
+    the pruning-count side is pinned by ``tests/test_cluster.py``."""
+    from geomesa_nifi_spark.lake.merge import compact
+
+    table = _replay_table(spark, sf_dir, [3, 2, 1, 0], mode="mor", cache=False)
+    compact(table, cluster_by=["value", "warc_ts"], max_records_per_file=2_000)
+    return table.scan(where=[("value", ">=", 0.5)]).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
+_CLUSTERED_SCAN_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww
+WHERE rn = 1 AND op <> 'delete' AND value >= 0.5
+"""
+
+
 def _stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous stateful LWW operator (``applyInPandasWithState``,
     streaming/stateful.py — the engine's analogue of the reference's
@@ -1419,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_partial": _update_partial,
         "cdc_update_by_attr": _update_by_attr,
         "cdc_zone_map_scan": _zone_map_scan,
+        "cdc_clustered_scan": _clustered_scan,
         "cdc_stateful_lww": _stateful_lww,
         "cdc_append_only": _append_only_q,
         "cdc_changelog": _changelog_read,
@@ -1466,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_update_partial": _UPDATE_PARTIAL_SQL,
         "cdc_update_by_attr": _UPDATE_BY_ATTR_SQL,
         "cdc_zone_map_scan": _ZONE_MAP_SCAN_SQL,
+        "cdc_clustered_scan": _CLUSTERED_SCAN_SQL,
         "cdc_stateful_lww": _STATEFUL_LWW_SQL,
         "cdc_append_only": _APPEND_ONLY_SQL,
         "cdc_changelog": _CHANGELOG_SQL,

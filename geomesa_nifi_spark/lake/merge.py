@@ -384,21 +384,36 @@ def compact(
     buckets=None,
     max_records_per_file: int = 2_000_000,
     drop_tombstones: bool = False,
+    cluster_by: list[str] | None = None,
+    cluster_bits: int | None = None,
 ):
     """Fold delta files into resolved base files for the given buckets.
 
     Keeps tombstones by default — they still guard against stale replays;
     ``drop_tombstones`` is for aged cleanup once upstream guarantees no
     older event can arrive (e.g. retention horizon passed).
+
+    ``cluster_by`` rewrites each bucket ORDERED BY those columns (one
+    column: linear; several: Z-order via ``lake/cluster.py``) instead of
+    the default key sort, so the rewritten files' ledger zone maps prune
+    attribute predicates (``scan(where=...)``, ``update_by_attribute``) —
+    the lakehouse analogue of the reference's store-side attribute index
+    for read patterns that filter on non-key columns.  Trade-off: the
+    bucket's key-range zone maps widen; cluster the buckets your attribute
+    queries hit, keep key-sorted compaction where point lookups dominate.
     """
     base = table.snapshot()
     nb = int(base.properties["num_buckets"])
     if buckets is None:
+        # default scope: buckets with deltas to fold.  A clustering request
+        # is a LAYOUT rewrite — base-only buckets are exactly what it needs
+        # to reorder, so it defaults to every bucket holding files.
+        wanted_kinds = ("delta",) if not cluster_by else ("delta", "base")
         buckets = sorted(
             {
                 b
                 for f in base.files
-                if f.kind == "delta"
+                if f.kind in wanted_kinds
                 for b in covered_buckets(f, nb)
             }
         )
@@ -416,7 +431,17 @@ def compact(
     out = resolved.withColumn(
         BUCKET_COL, table.bucket_expr(num_buckets=nb)
     )
-    new_files = table.write_files(out, base.version + 1, max_records_per_file, kind="base")
+    sort_exprs = None
+    if cluster_by:
+        from geomesa_nifi_spark.lake.cluster import DEFAULT_BITS, cluster_sort_exprs
+
+        sort_exprs = cluster_sort_exprs(
+            out, list(cluster_by), bits=cluster_bits or DEFAULT_BITS
+        )
+    new_files = table.write_files(
+        out, base.version + 1, max_records_per_file, kind="base",
+        sort_exprs=sort_exprs,
+    )
     return table.commit_rewrite(
         touched_buckets=buckets,
         new_files=new_files,
@@ -425,6 +450,7 @@ def compact(
             "batch_id": None,
             "touched_buckets": buckets,
             "rows_written": sum(f.rows for f in new_files),
+            **({"clustered_by": list(cluster_by)} if cluster_by else {}),
         },
         base=base,
     )

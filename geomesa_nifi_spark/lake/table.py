@@ -391,6 +391,7 @@ class LakeTable:
         version_hint: int,
         max_records_per_file: int = 2_000_000,
         kind: str = "base",
+        sort_exprs: list | None = None,
     ) -> list[DataFile]:
         """Write ``df`` (must carry ``_bucket``) as new immutable data files.
 
@@ -399,21 +400,28 @@ class LakeTable:
         ``maxRecordsPerFile``).  Files go to a commit-unique subdir; nothing
         is visible until the ledger commit references it, so a failed job
         leaves only unreferenced orphans (cleaned by ``vacuum``).
+
+        ``sort_exprs`` overrides the within-bucket row order (default: the
+        table key) — clustered compaction passes Z-order/linear expressions
+        here (``lake/cluster.py``) so overflow splits cover narrow ranges
+        of the CLUSTERED columns and the ledger zone maps prune attribute
+        predicates instead of key ranges.
         """
         token = uuid.uuid4().hex[:8]
         subdir = f"data/s{version_hint:010d}-{token}"
         out_dir = os.path.join(self.root, subdir)
+        order = sort_exprs if sort_exprs is not None else [F.col(self.key_col)]
         (
-            # sortWithinPartitions(bucket, key): the partitioned writer
+            # sortWithinPartitions(bucket, <order>): the partitioned writer
             # REQUIRES an ordering on the partition columns and inserts its
             # own (non-stable) sort when missing — sorting by key alone is
             # silently destroyed (observed: overlapping per-file key ranges).
             # Leading with _bucket satisfies the writer's requirement, so the
-            # key order survives: each overflow split covers a narrow key
-            # range, making both parquet row-group stats and the ledger zone
-            # maps selective for point lookups.
+            # requested order survives: each overflow split covers a narrow
+            # range of the sort columns, making both parquet row-group stats
+            # and the ledger zone maps selective.
             df.repartition(F.col(BUCKET_COL))
-            .sortWithinPartitions(F.col(BUCKET_COL), F.col(self.key_col))
+            .sortWithinPartitions(F.col(BUCKET_COL), *order)
             .write.option("maxRecordsPerFile", str(max_records_per_file))
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
