@@ -18,6 +18,9 @@ Commands:
   create-table  — declare a table (StructType DDL or a GeoMesa SFT spec)
   replay        — checkpoint-resumable CDC replay of a change-file stream
   compact       — fold merge-on-read deltas into base files
+                  (--cluster-by: Z-order/linear layout rewrite)
+  export-changes — changelog version range -> Kafka-shaped (key,value)
+                  messages (parquet dir, or a broker with the kafka jar)
   rescale       — rewrite the table under a new bucket count
                   (--lazy: metadata-only stamp, migrate on touch)
   migrate       — pay down lazy-rescale debt in bounded commits
@@ -104,8 +107,66 @@ def _cmd_compact(args) -> int:
 
     spark = _spark("gns-compact")
     table = LakeTable(spark, args.table)
-    snap = compact(table, drop_tombstones=args.drop_tombstones)
-    print(json.dumps({"version": snap.version}))
+    cluster_by = (
+        [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+        if args.cluster_by
+        else None
+    )
+    snap = compact(
+        table, drop_tombstones=args.drop_tombstones, cluster_by=cluster_by
+    )
+    out = {"version": snap.version}
+    if cluster_by:
+        out["clustered_by"] = cluster_by
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_export_changes(args) -> int:
+    """Changelog egress: version range -> Kafka-shaped (key, value)
+    messages, written to a directory (parquet) or a live broker when
+    --brokers is given (requires the spark-sql-kafka jar)."""
+    from geomesa_nifi_spark.lake import LakeTable
+    from geomesa_nifi_spark.streaming.kafka import (
+        kafka_sink_options,
+        table_changes_to_kafka,
+    )
+
+    if args.brokers:
+        if not args.topic:
+            print("export-changes: --brokers requires --topic", file=sys.stderr)
+            return 2
+    elif not args.out:
+        print("export-changes: need --out or --brokers/--topic", file=sys.stderr)
+        return 2
+    spark = _spark("gns-export-changes")
+    table = LakeTable(spark, args.table)
+    recs, value_schema = table_changes_to_kafka(
+        table,
+        from_version=args.from_version,
+        to_version=args.to_version,
+        value_format=args.value_format,
+        records_per_message=args.records_per_message,
+    )
+    if args.brokers:
+        plan = kafka_sink_options({"brokers": args.brokers, "topic": args.topic})
+        writer = recs.write.format("kafka")
+        for k, v in plan.options.items():
+            writer = writer.option(k, v)
+        writer.save()
+        sink = f"kafka://{args.topic}"
+    else:
+        recs.write.mode("errorifexists").parquet(args.out)
+        sink = args.out
+    print(
+        json.dumps(
+            {
+                "sink": sink,
+                "value_format": args.value_format,
+                "value_schema_ddl": value_schema.simpleString(),
+            }
+        )
+    )
     return 0
 
 
@@ -304,7 +365,27 @@ def build_parser() -> argparse.ArgumentParser:
     k = sub.add_parser("compact", help="fold MoR deltas into base files")
     k.add_argument("--table", required=True)
     k.add_argument("--drop-tombstones", action="store_true")
+    k.add_argument(
+        "--cluster-by", default=None,
+        help="comma-separated columns: rewrite ordered by these (1 column "
+             "= linear, several = Z-order) so zone maps prune attribute "
+             "predicates; scope defaults to ALL buckets",
+    )
     k.set_defaults(fn=_cmd_compact)
+
+    ec = sub.add_parser(
+        "export-changes",
+        help="changelog -> Kafka-shaped (key,value) messages (dir or broker)",
+    )
+    ec.add_argument("--table", required=True)
+    ec.add_argument("--from-version", type=int, default=0)
+    ec.add_argument("--to-version", type=int, default=None)
+    ec.add_argument("--value-format", choices=("json", "avro"), default="json")
+    ec.add_argument("--records-per-message", type=int, default=500)
+    ec.add_argument("--out", default=None, help="output directory (parquet)")
+    ec.add_argument("--brokers", default=None, help="write to a live broker instead")
+    ec.add_argument("--topic", default=None)
+    ec.set_defaults(fn=_cmd_export_changes)
 
     rs = sub.add_parser("rescale", help="rewrite the table under a new bucket count")
     rs.add_argument("--table", required=True)

@@ -169,3 +169,64 @@ def test_cli_mv_create_and_refresh(spark, tmp_path, capsys):
         for r in LakeTable(spark, view).scan().select("text", "n", "total").collect()
     }
     assert got == {("v2", 1, 3), ("w1", 1, 2)}
+
+
+def test_cli_clustered_compact_and_export_changes(spark, tmp_path, capsys):
+    table = str(tmp_path / "t")
+    assert main([
+        "create-table", "--table", table,
+        "--schema", "url string, warc_ts timestamp, offset long, text string",
+        "--key", "url", "--ts", "warc_ts", "--tiebreak", "offset",
+        "--buckets", "2",
+    ]) == 0
+    _write_changes(spark, tmp_path / "changes")
+    assert main([
+        "replay", "--table", table, "--source", str(tmp_path / "changes"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--mode", "mor", "--no-extract",
+        "--max-files-per-trigger", "10",
+    ]) == 0
+    capsys.readouterr()
+
+    rc = main(["compact", "--table", table, "--cluster-by", "offset,warc_ts"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["clustered_by"] == ["offset", "warc_ts"]
+
+    # egress the whole changelog to a directory; decode must round-trip
+    dest = str(tmp_path / "egress")
+    rc = main([
+        "export-changes", "--table", table, "--value-format", "avro",
+        "--out", dest,
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["sink"] == dest and "url" in info["value_schema_ddl"]
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from geomesa_nifi_spark.streaming.kafka import kafka_records_to_changes
+
+    value_schema = T.StructType.fromDDL(
+        "url string, warc_ts timestamp, offset long, text string, "
+        "_commit_version int, _batch_id string, op string"
+    )
+    msgs = spark.read.parquet(dest)
+    shaped = msgs.select(
+        "key", "value", F.lit("t").alias("topic"), F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
+    )
+    back = kafka_records_to_changes(
+        shaped, value_schema, include_lineage=False, value_format="avro"
+    )
+    # single-batch replay: the delta (and so the changelog) carries the
+    # batch-local LWW winner per key — u1's offset-3 update and u2's
+    # first write (the late offset-4 row lost)
+    assert {(r["url"], r["offset"]) for r in back.collect()} == {
+        ("u1", 3), ("u2", 2),
+    }
+
+    # argument validation
+    assert main(["export-changes", "--table", table]) == 2
+    assert main(["export-changes", "--table", table, "--brokers", "b:9092"]) == 2
