@@ -573,6 +573,45 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _attr_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute index table (lake/index.py — the reference store's
+    per-attribute index tables, ``UpdateGeoMesaRecord.scala:154-166``):
+    build an inverted event_type→url index from the ledger, then route an
+    equality lookup through it.  The index diff is exact, so the result
+    must hash-match a plain predicate filter of the LWW state (the
+    oracle); the O(1)-bucket read shape is pinned by
+    ``tests/test_index.py::test_index_read_is_bucket_pruned``."""
+    from geomesa_nifi_spark.lake.index import (
+        create_attr_index,
+        index_lookup,
+        refresh_attr_index,
+    )
+
+    table = _replay_table(spark, sf_dir, [1, 3, 0, 2], mode="mor")
+    root = tempfile.mkdtemp(prefix="gns_aidx_") + "/idx"
+    idx = create_attr_index(table, "event_type", root)
+    refresh_attr_index(idx, table)
+    return index_lookup(table, idx, ["click", "purchase"]).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
+_ATTR_INDEX_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww
+WHERE rn = 1 AND op <> 'delete' AND event_type IN ('click', 'purchase')
+"""
+
+
 def _clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order-clustered compaction (``compact(cluster_by=[...])``,
     lake/cluster.py — Delta OPTIMIZE-ZORDER-shaped layout rewrite), then an
@@ -1452,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_by_attr": _update_by_attr,
         "cdc_zone_map_scan": _zone_map_scan,
         "cdc_clustered_scan": _clustered_scan,
+        "cdc_attr_index_lookup": _attr_index_lookup,
         "cdc_stateful_lww": _stateful_lww,
         "cdc_append_only": _append_only_q,
         "cdc_changelog": _changelog_read,
@@ -1500,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_update_by_attr": _UPDATE_BY_ATTR_SQL,
         "cdc_zone_map_scan": _ZONE_MAP_SCAN_SQL,
         "cdc_clustered_scan": _CLUSTERED_SCAN_SQL,
+        "cdc_attr_index_lookup": _ATTR_INDEX_SQL,
         "cdc_stateful_lww": _STATEFUL_LWW_SQL,
         "cdc_append_only": _APPEND_ONLY_SQL,
         "cdc_changelog": _CHANGELOG_SQL,

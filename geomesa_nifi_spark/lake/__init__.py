@@ -19,6 +19,13 @@ from geomesa_nifi_spark.lake.materialize import (  # noqa: F401
     rebuild,
     refresh,
 )
+from geomesa_nifi_spark.lake.index import (  # noqa: F401
+    IndexLookupError,
+    create_attr_index,
+    index_lookup,
+    last_indexed_version,
+    refresh_attr_index,
+)
 from geomesa_nifi_spark.lake.merge import (  # noqa: F401
     MergeResult,
     append_only,

@@ -242,6 +242,45 @@ def _contributions(
     return df.select(*cols, *mcols)
 
 
+def diff_bucket_sets(
+    source: LakeTable, from_v: int, to_v: int
+) -> tuple[set[int] | None, set[int] | None]:
+    """Bucket sets for an exact pre/post diff of versions ``(from_v, to_v]``
+    — ``(pre_buckets, post_buckets)``; ``(None, None)`` means full scans.
+
+    Cancellation of unchanged rows requires the pre and post scans to
+    cover EXACTLY the same key set.  Bucket sets under different moduli
+    cover different key supersets (a shrink mapping widens one side
+    only), so: canonicalize every touched bucket to a residue of the
+    COARSER of the two endpoint moduli, then expand those residues to
+    each endpoint — both scans then cover precisely
+    {k : hash(k) mod coarse ∈ residues}.  Anything incommensurable
+    (an eager rescale in range) degrades BOTH sides to a full scan.
+    Raises :class:`MaterializeRetentionError` if the range was expired.
+    Shared by the aggregate-view refresh and the attribute-index refresh
+    (``lake/index.py``) — both are exact-diff CDC consumers."""
+    touched, any_data = _touched_in_range(source, from_v, to_v)
+    if not any_data:
+        # metadata-only traffic (compactions, rescales): empty diff
+        touched = set()
+    nb_from = int(source.snapshot(from_v).properties["num_buckets"])
+    nb_to = int(source.snapshot(to_v).properties["num_buckets"])
+    if nb_from % nb_to == 0 or nb_to % nb_from == 0:
+        coarse = min(nb_from, nb_to)
+        residues: set[int] | None = set()
+        for nb, b in touched:
+            m = _map_buckets({b}, nb, coarse)
+            if m is None:
+                residues = None
+                break
+            residues |= m
+    else:
+        residues = None
+    if residues is None:
+        return None, None
+    return _map_buckets(residues, coarse, nb_from), _map_buckets(residues, coarse, nb_to)
+
+
 def refresh(
     view: LakeTable,
     source: LakeTable,
@@ -260,39 +299,7 @@ def refresh(
     if to_v == from_v:
         return MergeResult(snapshot=None, skipped=True, metrics={"reason": "up_to_date"})
 
-    touched, any_data = _touched_in_range(source, from_v, to_v)
-    if not any_data:
-        # metadata-only traffic (compactions, rescales): record the
-        # fast-forward so the next refresh's range starts here, without
-        # touching any data
-        touched = set()
-
-    # Cancellation of unchanged rows requires the pre and post scans to
-    # cover EXACTLY the same key set.  Bucket sets under different moduli
-    # cover different key supersets (a shrink mapping widens one side
-    # only), so: canonicalize every touched bucket to a residue of the
-    # COARSER of the two endpoint moduli, then expand those residues to
-    # each endpoint — both scans then cover precisely
-    # {k : hash(k) mod coarse ∈ residues}.  Anything incommensurable
-    # (an eager rescale in range) degrades BOTH sides to a full scan.
-    nb_from = int(source.snapshot(from_v).properties["num_buckets"])
-    nb_to = int(source.snapshot(to_v).properties["num_buckets"])
-    if nb_from % nb_to == 0 or nb_to % nb_from == 0:
-        coarse = min(nb_from, nb_to)
-        residues: set[int] | None = set()
-        for nb, b in touched:
-            m = _map_buckets({b}, nb, coarse)
-            if m is None:
-                residues = None
-                break
-            residues |= m
-    else:
-        residues = None
-    if residues is None:
-        pre_b = post_b = None
-    else:
-        pre_b = _map_buckets(residues, coarse, nb_from)
-        post_b = _map_buckets(residues, coarse, nb_to)
+    pre_b, post_b = diff_bucket_sets(source, from_v, to_v)
 
     if (pre_b is not None and not pre_b) and (post_b is not None and not post_b):
         # no data-changing commit in range: empty delta, but still commit

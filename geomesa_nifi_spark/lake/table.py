@@ -77,7 +77,8 @@ class LakeTable:
         if self._structural is None:
             p = self.snapshot().properties
             self._structural = {
-                k: p.get(k, "") for k in ("key_col", "ts_col", "tiebreak_col")
+                k: p.get(k, "")
+                for k in ("key_col", "ts_col", "tiebreak_col", "bucket_col")
             }
         return self._structural.get(name) or None
 
@@ -120,6 +121,9 @@ class LakeTable:
             raise FileExistsError(f"lake table already exists at {root}")
         if key_col not in schema.fieldNames():
             raise ValueError(f"key column '{key_col}' not in schema")
+        bcol = (properties or {}).get("bucket_col")
+        if bcol and bcol not in schema.fieldNames():
+            raise ValueError(f"bucket column '{bcol}' not in schema")
         props = {
             "key_col": key_col,
             "ts_col": ts_col or "",
@@ -163,6 +167,18 @@ class LakeTable:
         return self._struct_prop("tiebreak_col")
 
     @property
+    def bucket_col(self) -> str:
+        """Column the bucket hash is computed from — the key by default.
+
+        A table may bucket on a DIFFERENT column than its key (property
+        ``bucket_col``) provided the invariant holds that rows sharing a
+        key always share that column's value, so per-key LWW stays
+        bucket-local.  Attribute index tables (``lake/index.py``) use this
+        to bucket by the indexed VALUE while keying on (value, source key):
+        equality lookups then prune to one bucket driver-side."""
+        return self._struct_prop("bucket_col") or self.key_col
+
+    @property
     def num_buckets(self) -> int:
         """The CURRENT bucket modulus (version-sensitive — see ``rescale``)."""
         return int(self.snapshot().properties["num_buckets"])
@@ -181,7 +197,7 @@ class LakeTable:
         ``num_buckets`` pins the modulus (readers of historical versions and
         ``rescale`` pass the modulus of the snapshot they operate on);
         default is the current snapshot's."""
-        key = F.col(self.key_col) if key is None else key
+        key = F.col(self.bucket_col) if key is None else key
         b = self.num_buckets if num_buckets is None else int(num_buckets)
         return F.pmod(F.xxhash64(key), F.lit(b)).cast("int")
 
@@ -262,7 +278,7 @@ class LakeTable:
             # bucket — LWW resolution below stays sound.
             wanted = sorted(set(buckets))
             df = df.filter(
-                F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(nb))
+                F.pmod(F.xxhash64(F.col(self.bucket_col)), F.lit(nb))
                 .cast("int")
                 .isin(wanted)
             )
@@ -309,6 +325,13 @@ class LakeTable:
         """
         if not keys:
             return self.scan(version=version).limit(0)
+        if self.bucket_col != self.key_col:
+            # bucket hash is over a different column: key literals cannot
+            # locate buckets.  Fall back to a predicate scan — zone maps
+            # still prune (files are key-sorted within buckets).
+            return self.scan(
+                version=version, where=[(self.key_col, "in", list(keys))]
+            )
         lit_df = self.spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField(self.key_col, T.StringType())])
         )

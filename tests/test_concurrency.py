@@ -44,8 +44,8 @@ def _inject_commit_between(monkeypatch, table, spark, rows):
     orig = _LT.write_files
     state = {"fired": False}
 
-    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base"):
-        files = orig(self, df, version_hint, max_records_per_file, kind)
+    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base", **kw):
+        files = orig(self, df, version_hint, max_records_per_file, kind, **kw)
         if not state["fired"]:
             state["fired"] = True
             merge_changes(other, spark.createDataFrame(rows, CHANGE),
@@ -133,9 +133,9 @@ def test_cow_conflict_with_compaction_only_rebases(spark, tmp_path, monkeypatch)
     orig = _LT.write_files
     state = {"fired": False, "calls": 0}
 
-    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base"):
+    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base", **kw):
         state["calls"] += 1
-        files = orig(self, df, version_hint, max_records_per_file, kind)
+        files = orig(self, df, version_hint, max_records_per_file, kind, **kw)
         if not state["fired"]:
             state["fired"] = True
             from geomesa_nifi_spark.lake import compact
@@ -185,8 +185,8 @@ def test_append_only_conflict_idempotent_skip(spark, tmp_path, monkeypatch):
     orig = _LT.write_files
     state = {"fired": False}
 
-    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base"):
-        files = orig(self, df, version_hint, max_records_per_file, kind)
+    def patched(self, df, version_hint, max_records_per_file=2_000_000, kind="base", **kw):
+        files = orig(self, df, version_hint, max_records_per_file, kind, **kw)
         if not state["fired"]:
             state["fired"] = True
             append_only(other,
