@@ -26,6 +26,9 @@ Commands:
   migrate       — pay down lazy-rescale debt in bounded commits
   mv-create     — declare an incremental aggregate view over a table
   mv-refresh    — advance a view to the source head (incremental)
+  index-create  — declare an attribute index table over a column
+  index-refresh — advance an attribute index to the source head (exact diff)
+  index-lookup  — equality lookup routed through an attribute index
   vacuum        — expire snapshots, GC retained changelog files, delete
                   unreferenced data files
   show          — table state summary (version, schema, per-bucket stats)
@@ -235,6 +238,51 @@ def _cmd_mv_refresh(args) -> int:
     return 0
 
 
+def _cmd_index_create(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable, create_attr_index
+
+    spark = _spark("gns-index-create")
+    source = LakeTable(spark, args.source)
+    idx = create_attr_index(
+        source, args.column, args.index,
+        num_buckets=args.buckets, if_not_exists=args.if_not_exists,
+    )
+    print(json.dumps({"index": idx.root, "source": source.root,
+                      "column": args.column, "buckets": idx.num_buckets}))
+    return 0
+
+
+def _cmd_index_refresh(args) -> int:
+    from geomesa_nifi_spark.lake import (
+        LakeTable,
+        last_indexed_version,
+        refresh_attr_index,
+    )
+
+    spark = _spark("gns-index-refresh")
+    idx = LakeTable(spark, args.index)
+    source = LakeTable(spark, idx.snapshot().properties["aidx.source_root"])
+    r = refresh_attr_index(idx, source)
+    print(json.dumps({
+        "skipped": r.skipped,
+        "source_version": last_indexed_version(idx),
+        "index_version": idx.snapshot().version,
+    }))
+    return 0
+
+
+def _cmd_index_lookup(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable, index_lookup
+
+    spark = _spark("gns-index-lookup")
+    idx = LakeTable(spark, args.index)
+    source = LakeTable(spark, idx.snapshot().properties["aidx.source_root"])
+    df = index_lookup(source, idx, args.values.split(","), at_head=args.at_head)
+    for row in df.limit(args.limit).toJSON().collect():
+        print(row)
+    return 0
+
+
 def _cmd_migrate(args) -> int:
     from geomesa_nifi_spark.lake import LakeTable, migrate_layout
 
@@ -415,6 +463,34 @@ def build_parser() -> argparse.ArgumentParser:
     )
     mvc.add_argument("--buckets", type=int, default=32)
     mvc.set_defaults(fn=_cmd_mv_create)
+
+    ic = sub.add_parser(
+        "index-create", help="declare an attribute index table over a column"
+    )
+    ic.add_argument("--index", required=True)
+    ic.add_argument("--source", required=True)
+    ic.add_argument("--column", required=True)
+    ic.add_argument("--buckets", type=int, default=None)
+    ic.add_argument("--if-not-exists", action="store_true")
+    ic.set_defaults(fn=_cmd_index_create)
+
+    ir = sub.add_parser(
+        "index-refresh", help="advance an attribute index to the source head"
+    )
+    ir.add_argument("--index", required=True)
+    ir.set_defaults(fn=_cmd_index_refresh)
+
+    il = sub.add_parser(
+        "index-lookup",
+        help="source rows whose indexed column equals a value (JSON lines)",
+    )
+    il.add_argument("--index", required=True)
+    il.add_argument("--values", required=True, help="comma-separated values")
+    il.add_argument("--at-head", action="store_true",
+                    help="read the source HEAD through the indexed keys "
+                         "(async-index staleness) instead of the indexed version")
+    il.add_argument("--limit", type=int, default=100)
+    il.set_defaults(fn=_cmd_index_lookup)
 
     mvr = sub.add_parser("mv-refresh", help="advance a view to the source head")
     mvr.add_argument("--view", required=True)

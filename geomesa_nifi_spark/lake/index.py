@@ -104,6 +104,7 @@ def create_attr_index(
             "bucket_col": col,
             "aidx.source_col": col,
             "aidx.source_key": key_col,
+            "aidx.source_root": source.root,
         },
         if_not_exists=if_not_exists,
     )

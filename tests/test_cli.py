@@ -230,3 +230,42 @@ def test_cli_clustered_compact_and_export_changes(spark, tmp_path, capsys):
     # argument validation
     assert main(["export-changes", "--table", table]) == 2
     assert main(["export-changes", "--table", table, "--brokers", "b:9092"]) == 2
+
+
+def test_cli_index_create_refresh_lookup(spark, tmp_path, capsys):
+    table = str(tmp_path / "t")
+    assert main([
+        "create-table", "--table", table,
+        "--schema", "url string, warc_ts timestamp, offset long, text string",
+        "--key", "url", "--ts", "warc_ts", "--tiebreak", "offset",
+        "--buckets", "4",
+    ]) == 0
+    _write_changes(spark, tmp_path / "changes")
+    assert main([
+        "replay", "--table", table, "--source", str(tmp_path / "changes"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--no-extract",
+        "--max-files-per-trigger", "10",
+    ]) == 0
+    capsys.readouterr()
+
+    index = str(tmp_path / "idx")
+    assert main([
+        "index-create", "--index", index, "--source", table,
+        "--column", "text", "--buckets", "2",
+    ]) == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["column"] == "text" and created["buckets"] == 2
+
+    assert main(["index-refresh", "--index", index]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out["skipped"] and out["source_version"] > 0
+
+    # idempotent: no new source commits -> skip
+    assert main(["index-refresh", "--index", index]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["skipped"]
+
+    assert main(["index-lookup", "--index", index, "--values", "v2,late"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    # LWW state: u1 -> v2 (later offset wins), u2 -> w1; 'late' lost
+    assert {(r["url"], r["text"]) for r in rows} == {("u1", "v2")}
