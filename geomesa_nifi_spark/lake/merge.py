@@ -854,6 +854,7 @@ def update_by_attribute(
     lookup_col: str,
     batch_id: str | None = None,
     lineage: dict | None = None,
+    index: "LakeTable | None" = None,
 ) -> MergeResult:
     """``UpdateGeoMesaRecord`` with a non-id lookup column
     (``UpdateGeoMesaRecord.scala:248-259`` ``AttributeFilter``; ``:172-183``
@@ -878,6 +879,15 @@ def update_by_attribute(
     ``lookup_col`` admits one of them are read.  Batches with more than
     ``MAX_LOOKUP_VALUES`` distinct values fall back to the full scan
     rather than collect unboundedly.
+
+    With ``index`` (an attribute index over ``lookup_col``,
+    ``lake/index.py``) the read goes through the reference's exact shape —
+    the store-side attribute index (``UpdateGeoMesaRecord.scala:154-166``):
+    the index is first refreshed to the table head (an incremental ledger
+    diff over only the buckets touched since its last refresh, NOT a table
+    scan), then the lookup opens O(1) index buckets + O(matches) source
+    files.  At CDC steady state that replaces the zone-map file scan with
+    work proportional to the delta since the last attribute update.
     """
     key = table.key_col
     ts_col = table.ts_col
@@ -900,7 +910,20 @@ def update_by_attribute(
         r[0] for r in m.select("_lk").distinct().limit(MAX_LOOKUP_VALUES + 1).collect()
     ]
     n_lookups = len(vals)
-    if 0 < n_lookups <= MAX_LOOKUP_VALUES and all(v is not None for v in vals):
+    if index is not None and 0 < n_lookups <= MAX_LOOKUP_VALUES and all(
+        v is not None for v in vals
+    ):
+        from geomesa_nifi_spark.lake.index import index_lookup, refresh_attr_index
+
+        if index.snapshot().properties.get("aidx.source_col") != lookup_col:
+            raise ValueError(
+                f"index at {index.root} does not index column {lookup_col!r}"
+            )
+        # bring the index to head so the lookup is exact (incremental:
+        # only buckets touched since the last refresh are diffed)
+        refresh_attr_index(index, table)
+        cur = index_lookup(table, index, vals)
+    elif 0 < n_lookups <= MAX_LOOKUP_VALUES and all(v is not None for v in vals):
         cur = table.scan(where=[(lookup_col, "in", vals)])
     else:
         # over the guard: full scan, and n_lookups reports the bound rather

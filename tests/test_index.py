@@ -163,3 +163,43 @@ def test_index_read_is_bucket_pruned(spark, tmp_path):
     assert len(cand) < total or total == 1
     # and lookup through those buckets returns the right keys
     assert _lang_keys(t, idx, ["de"]) == {f"u{i}" for i in range(100) if i % 4 == 1}
+
+
+def test_update_by_attribute_routes_through_index(spark, tmp_path):
+    """update_by_attribute(index=...) must equal the index-less path —
+    the reference's attribute-index read (UpdateGeoMesaRecord.scala:154-166)
+    behind the same update semantics."""
+    from geomesa_nifi_spark.lake.merge import update_by_attribute
+
+    rows = [ev(f"u{i}", i, ["en", "de", "fr"][i % 3], float(i)) for i in range(60)]
+
+    t, idx = make(spark, tmp_path)
+    merge_changes(t, spark.createDataFrame(rows), batch_id="b0", mode="mor",
+                  auto_compact=False)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"), SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+    )
+    merge_changes(t2, spark.createDataFrame(rows), batch_id="b0", mode="mor",
+                  auto_compact=False)
+
+    upd = spark.createDataFrame([("de", 99.0)], "lang string, score double")
+    r_idx = update_by_attribute(t, upd, "lang", batch_id="u1", index=idx)
+    r_scan = update_by_attribute(t2, upd, "lang", batch_id="u1")
+
+    assert r_idx.metrics["attr_update_rows"] == r_scan.metrics["attr_update_rows"] == 20
+    got = {tuple(r) for r in t.scan().collect()}
+    want = {tuple(r) for r in t2.scan().collect()}
+    assert got == want
+    # the routed refresh brought the index to the pre-update head; score
+    # updates do not move lang, so a follow-up refresh only sees the
+    # update commit itself (which left lang unchanged -> empty diff)
+    assert last_indexed_version(idx) > 0
+    refresh_attr_index(idx, t)
+    assert _lang_keys(t, idx, ["de"]) == {f"u{i}" for i in range(60) if i % 3 == 1}
+
+    # wrong-column index is rejected
+    other = create_attr_index(t, "score", str(tmp_path / "score_idx"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="does not index"):
+        update_by_attribute(t, upd, "lang", batch_id="u2", index=other)
