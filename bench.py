@@ -419,6 +419,45 @@ def main() -> None:
         "speedup_vs_rebuild": round(t_mv_rebuild / max(t_mv_refresh, 1e-9), 1),
     }
 
+    # attribute index (lake/index.py): the store-side attribute-index
+    # analogue.  Build cost is a one-time full diff; the payoff is the
+    # lookup — O(1) index buckets + O(matches) source files vs a predicate
+    # scan whose zone maps cannot prune an uncorrelated column like text.
+    from geomesa_nifi_spark.lake import (
+        create_attr_index as _aidx_create,
+        index_lookup as _aidx_lookup,
+        refresh_attr_index as _aidx_refresh,
+    )
+
+    aidx = _aidx_create(mor_table, "text", os.path.join(work, "t-mor-aidx"))
+    t0 = time.monotonic()
+    _aidx_refresh(aidx, mor_table)
+    t_aidx_build = time.monotonic() - t0
+    queries["attr_index_build"] = round(t_aidx_build, 3)
+    lookup_vals = [
+        r[0]
+        for r in mor_table.scan().select("text")
+        .where(F.col("text").isNotNull()).limit(3).collect()
+    ]
+    t0 = time.monotonic()
+    n_hit = _aidx_lookup(mor_table, aidx, lookup_vals).count()
+    t_aidx_lookup = time.monotonic() - t0
+    queries["attr_index_lookup"] = round(t_aidx_lookup, 3)
+    t0 = time.monotonic()
+    n_scan = mor_table.scan(where=[("text", "in", lookup_vals)]).count()
+    t_attr_scan = time.monotonic() - t0
+    queries["attr_lookup_scan"] = round(t_attr_scan, 3)
+    assert n_hit == n_scan, (n_hit, n_scan)
+    aidx_bench = {
+        "indexed_column": "text",
+        "table_events": n_events,
+        "build_sec": round(t_aidx_build, 3),
+        "lookup_sec": round(t_aidx_lookup, 3),
+        "scan_sec": round(t_attr_scan, 3),
+        "rows_matched": n_hit,
+        "speedup_vs_scan": round(t_attr_scan / max(t_aidx_lookup, 1e-9), 1),
+    }
+
     # operator headliners on the driver's sf tables
     import __spark_entry__ as entry
 
@@ -534,6 +573,7 @@ def main() -> None:
         },
         "kafka_avro": kafka_avro,
         "materialized_view": mv_bench,
+        "attr_index": aidx_bench,
         "scaling": scaling,
     }
     print(json.dumps(out))

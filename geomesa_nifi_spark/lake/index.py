@@ -204,17 +204,9 @@ def index_lookup(
     if not values:
         return source.scan().limit(0)
     indexed_v = last_indexed_version(index)
-    vtype = index.schema()[col].dataType
-    lit_df = index.spark.createDataFrame(
-        [(v,) for v in values], T.StructType([T.StructField(col, vtype)])
-    )
-    nb = index.num_buckets
-    vbuckets = sorted(
-        r[0]
-        for r in lit_df.select(index.bucket_expr(num_buckets=nb).alias("b"))
-        .distinct()
-        .collect()
-    )
+    # driver-side literal hashing (functions/xxhash.py): locating the value
+    # buckets costs no Spark job
+    vbuckets = index._literal_buckets(list(values), index.num_buckets)
     entries = index.scan(buckets=vbuckets, where=[(col, "in", list(values))])
     keys = [
         r[0]

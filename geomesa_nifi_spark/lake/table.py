@@ -332,19 +332,11 @@ class LakeTable:
             return self.scan(
                 version=version, where=[(self.key_col, "in", list(keys))]
             )
-        lit_df = self.spark.createDataFrame(
-            [(k,) for k in keys], T.StructType([T.StructField(self.key_col, T.StringType())])
-        )
         # the modulus of the version being read, NOT the current one — a
         # time-travel read across a rescale must prune with the layout the
         # target snapshot's files were actually written under
         nb = int(self.snapshot(version).properties["num_buckets"])
-        buckets = sorted(
-            r[0]
-            for r in lit_df.select(
-                self.bucket_expr(num_buckets=nb).alias("b")
-            ).distinct().collect()
-        )
+        buckets = self._literal_buckets(keys, nb)
         # zone maps prune files INSIDE the selected buckets (the write path
         # sorts by key, so each overflow split covers a narrow key range);
         # scan re-applies the isin as the residual filter
@@ -352,6 +344,37 @@ class LakeTable:
             version=version, buckets=buckets,
             where=[(self.key_col, "in", list(keys))],
         )
+
+    def _literal_buckets(self, values: list, nb: int) -> list[int]:
+        """Buckets of literal ``bucket_col`` values under modulus ``nb``.
+
+        Computed driver-side in pure Python (``functions/xxhash.py``, pinned
+        equal to the ``xxhash64`` expression) — zero Spark jobs for the
+        common string/integral key types; a single-row job only for types
+        outside that map.  One lookup = one scan job, nothing else."""
+        from geomesa_nifi_spark.functions.xxhash import bucket_of
+
+        dtype = self.schema()[self.bucket_col].dataType
+        out = set()
+        spark_side = []
+        for v in values:
+            b = bucket_of(v, dtype, nb)
+            if b is None:
+                spark_side.append(v)
+            else:
+                out.add(b)
+        if spark_side:
+            lit_df = self.spark.createDataFrame(
+                [(v,) for v in spark_side],
+                T.StructType([T.StructField(self.bucket_col, dtype)]),
+            )
+            out |= {
+                r[0]
+                for r in lit_df.select(
+                    self.bucket_expr(num_buckets=nb).alias("b")
+                ).distinct().collect()
+            }
+        return sorted(out)
 
     def delta_stats(self, snapshot: Snapshot | None = None) -> dict[int, dict]:
         """Per-CURRENT-bucket {files, delta_files, delta_rows} — compaction
