@@ -785,6 +785,64 @@ SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value FROM b
 """
 
 
+_DBZ_PAYLOAD = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_us", T.LongType()),
+        T.StructField("src_offset", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingest from the Debezium wire format (sources/debezium.py): the
+    change stream encoded as JSON envelopes (upserts carry ``after``,
+    deletes carry ``before``, temporal fields as epoch micros per
+    Debezium's MicroTimestamp convention), decoded back with JVM
+    ``from_json`` and replayed through the lake in scrambled batches —
+    the end state must equal the native-ingest LWW oracle exactly."""
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+    from geomesa_nifi_spark.sources.debezium import (
+        debezium_to_changes,
+        encode_debezium,
+    )
+
+    raw = _changes(spark, sf_dir)
+    payload = raw.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+        "op",
+        F.unix_millis("warc_ts").alias("ts_ms"),
+        F.col("src_offset").alias("lsn"),
+    )
+    wire = encode_debezium(payload, ts_ms_col="ts_ms", lsn_col="lsn")
+    decoded = debezium_to_changes(wire, _DBZ_PAYLOAD).select(
+        "url",
+        F.timestamp_micros(F.col("warc_us")).alias("warc_ts"),
+        "src_offset",
+        "event_type",
+        "value",
+        "op",
+    )
+    root = tempfile.mkdtemp(prefix="gns_entry_dbz_") + "/pages"
+    table = LakeTable.create(
+        spark, root, _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset", num_buckets=16,
+    )
+    for b in (2, 0, 1):
+        merge_changes(
+            table,
+            decoded.filter(F.pmod(F.col("src_offset"), F.lit(3)) == b),
+            batch_id=f"dbz-{b}",
+        )
+    return _final_state(table)
+
+
 def _changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog egress (store -> records, ``GetGeoMesaKafkaRecord``): the
     change events of exactly one committed batch, read back from the lake's
@@ -1494,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_attr_index_lookup": _attr_index_lookup,
         "cdc_stateful_lww": _stateful_lww,
         "cdc_append_only": _append_only_q,
+        "cdc_debezium_ingest": _debezium_ingest,
         "cdc_changelog": _changelog_read,
         "cdc_changes_kafka": _changes_kafka_roundtrip,
         "cdc_visibility": _visibility_filter,
@@ -1543,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_attr_index_lookup": _ATTR_INDEX_SQL,
         "cdc_stateful_lww": _STATEFUL_LWW_SQL,
         "cdc_append_only": _APPEND_ONLY_SQL,
+        "cdc_debezium_ingest": _LWW_STATE_SQL,
         "cdc_changelog": _CHANGELOG_SQL,
         "cdc_changes_kafka": _CHANGELOG_SQL,
         "cdc_visibility": _VISIBILITY_SQL,
