@@ -381,6 +381,48 @@ def _cmd_show(args) -> int:
     return 0
 
 
+def _metadata_table(root: str):
+    """A LakeTable handle for ledger-only operations (tags, rollback).
+
+    These touch only the snapshot ledger — no DataFrame is ever built — so
+    no SparkSession is started: tagging a 100 TB table is a metadata write,
+    and paying a JVM spin-up for it would make the CLI useless in scripts."""
+    from geomesa_nifi_spark.lake import LakeTable
+
+    return LakeTable(None, root)  # type: ignore[arg-type]
+
+
+def _cmd_tag(args) -> int:
+    table = _metadata_table(args.table)
+    if args.delete:
+        table.delete_tag(args.name)
+        print(json.dumps({"deleted": args.name}))
+    else:
+        v = table.create_tag(
+            args.name,
+            version=args.version if args.version is not None else None,
+            replace=args.replace,
+        )
+        print(json.dumps({"tag": args.name, "version": v}))
+    return 0
+
+
+def _cmd_tags(args) -> int:
+    print(json.dumps(_metadata_table(args.table).tags(), indent=2))
+    return 0
+
+
+def _cmd_rollback(args) -> int:
+    table = _metadata_table(args.table)
+    target = args.version if args.tag is None else args.tag
+    snap = table.rollback(target)
+    print(json.dumps({
+        "version": snap.version,
+        "rollback_of": snap.summary.get("rollback_of", snap.version),
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="geomesa_nifi_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -509,6 +551,28 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--table", required=True)
     s.add_argument("--deltas", action="store_true")
     s.set_defaults(fn=_cmd_show)
+
+    tg = sub.add_parser("tag", help="pin a snapshot version under a name")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None,
+                    help="version to tag (default: current head)")
+    tg.add_argument("--replace", action="store_true")
+    tg.add_argument("--delete", action="store_true")
+    tg.set_defaults(fn=_cmd_tag)
+
+    tl = sub.add_parser("tags", help="list tags")
+    tl.add_argument("--table", required=True)
+    tl.set_defaults(fn=_cmd_tags)
+
+    rb = sub.add_parser(
+        "rollback", help="restore a prior version's state as a new commit"
+    )
+    rb.add_argument("--table", required=True)
+    g = rb.add_mutually_exclusive_group(required=True)
+    g.add_argument("--version", type=int)
+    g.add_argument("--tag")
+    rb.set_defaults(fn=_cmd_rollback)
 
     q = sub.add_parser("scan", help="predicate scan (zone-map pruned) to JSON lines")
     q.add_argument("--table", required=True)

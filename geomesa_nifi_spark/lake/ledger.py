@@ -52,6 +52,8 @@ from typing import Any, Callable
 LEDGER_DIR = "_ledger"
 SNAPSHOT_FMT = "v{:012d}.json"
 MANIFEST_PREFIX = "m-"
+TAG_PREFIX = "tag-"
+_TAG_NAME_RE = None  # compiled lazily (regex import kept out of the hot path)
 
 
 @dataclass(frozen=True)
@@ -247,6 +249,79 @@ class Ledger:
     def current_version(self) -> int | None:
         versions = self._versions()
         return versions[-1] if versions else None
+
+    # -- tags --------------------------------------------------------------
+    #
+    # Named immutable refs to snapshot versions (Iceberg-tag semantics):
+    # one small JSON file per tag, created with O_EXCL so two writers
+    # cannot silently race the same name.  Tags pin their version against
+    # ``expire_snapshots`` — a tagged version stays time-travelable until
+    # the tag is deleted.
+
+    @staticmethod
+    def _check_tag_name(name: str) -> str:
+        global _TAG_NAME_RE
+        if _TAG_NAME_RE is None:
+            import re
+
+            _TAG_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}\Z")
+        if not _TAG_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: use [A-Za-z0-9][A-Za-z0-9._-]*"
+            )
+        return name
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.dir, f"{TAG_PREFIX}{self._check_tag_name(name)}.json")
+
+    def tags(self) -> dict[str, int]:
+        """All tags -> version. Tag files are tiny; listing is O(#tags)."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(self.dir):
+            return out
+        for fname in os.listdir(self.dir):
+            if fname.startswith(TAG_PREFIX) and fname.endswith(".json"):
+                with open(os.path.join(self.dir, fname)) as fh:
+                    d = json.load(fh)
+                out[d["name"]] = int(d["version"])
+        return out
+
+    def create_tag(self, name: str, version: int, replace: bool = False) -> None:
+        """Tag ``version`` as ``name``.  O_EXCL create: concurrent creates
+        of the same tag get exactly one winner; ``replace=True`` retags
+        (unlink + recreate — an admin op, not a concurrency primitive)."""
+        if version not in self._versions():
+            raise KeyError(f"version {version} not in ledger {self.dir}")
+        path = self._tag_path(name)
+        doc = {"name": name, "version": int(version),
+               "created_ms": int(time.time() * 1000)}
+        if replace and os.path.exists(path):
+            os.unlink(path)
+        tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError as exc:
+            raise CommitConflict(f"tag {name!r} already exists") from exc
+        finally:
+            os.unlink(tmp)
+
+    def delete_tag(self, name: str) -> None:
+        path = self._tag_path(name)
+        if not os.path.exists(path):
+            raise KeyError(f"no tag {name!r} in {self.dir}")
+        os.unlink(path)
+
+    def resolve_tag(self, name: str) -> int:
+        path = self._tag_path(name)
+        try:
+            with open(path) as fh:
+                return int(json.load(fh)["version"])
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r} in {self.dir}") from None
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:

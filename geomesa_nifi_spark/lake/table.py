@@ -148,7 +148,10 @@ class LakeTable:
 
     # -- metadata ----------------------------------------------------------
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(self, version: int | str | None = None) -> Snapshot:
+        """Snapshot by version number, by TAG NAME (a string), or current."""
+        if isinstance(version, str):
+            version = self.ledger.resolve_tag(version)
         return self.ledger.snapshot(version)
 
     def schema(self, version: int | None = None) -> T.StructType:
@@ -185,6 +188,66 @@ class LakeTable:
 
     def history(self) -> list[Snapshot]:
         return self.ledger.snapshots()
+
+    # -- tags & rollback -----------------------------------------------------
+
+    def create_tag(self, name: str, version: int | None = None,
+                   replace: bool = False) -> int:
+        """Pin ``version`` (default: current) under ``name``.  Tagged
+        versions survive ``expire_snapshots`` until the tag is deleted, and
+        every read path accepts the tag name wherever it accepts a version
+        (``scan(version="prod")``, ``lookup(keys, version="prod")``)."""
+        if version is None:
+            v = self.snapshot().version
+        elif isinstance(version, str):
+            v = self.ledger.resolve_tag(version)
+        else:
+            v = int(version)
+        self.ledger.create_tag(name, v, replace=replace)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        self.ledger.delete_tag(name)
+
+    def tags(self) -> dict[str, int]:
+        return self.ledger.tags()
+
+    def rollback(self, version: int | str, retries: int = 5) -> Snapshot:
+        """Restore the table's visible state to ``version`` (or tag name)
+        as a NEW commit — history is never rewritten, so concurrent readers
+        keep their snapshot isolation and the audit chain stays intact
+        (Iceberg-rollback semantics).
+
+        The new snapshot takes the target's files, schema AND properties
+        (a rollback across a ``rescale`` must restore the old bucket
+        modulus or every pruned read after it would look in the wrong
+        buckets).  Exactly-once note: rolled-back batch ids remain in the
+        ledger history, so re-delivering one is still skipped — re-apply
+        under a new batch_id, which is what a corrected upstream batch is.
+        """
+        target = self.snapshot(version)
+        last: Exception | None = None
+        for _ in range(retries):
+            cur = self.snapshot()
+            if cur.version == target.version:
+                return cur
+            snap = Snapshot(
+                version=cur.version + 1,
+                schema_json=target.schema_json,
+                files=target.files,
+                properties=dict(target.properties),
+                summary={
+                    "operation": "rollback",
+                    "rollback_of": target.version,
+                    "previous_head": cur.version,
+                },
+                parent_version=cur.version,
+            )
+            try:
+                return self.ledger.commit(snap)
+            except CommitConflict as exc:  # another writer took the version
+                last = exc
+        raise last  # type: ignore[misc]
 
     def committed_batch_ids(self) -> set[str]:
         return self.ledger.committed_batch_ids()
@@ -226,7 +289,7 @@ class LakeTable:
 
     def scan(
         self,
-        version: int | None = None,
+        version: int | str | None = None,
         buckets: Iterable[int] | None = None,
         snapshot: Snapshot | None = None,
         include_tombstones: bool = False,
@@ -314,7 +377,7 @@ class LakeTable:
         order = [ts] + ([self.tiebreak_col] if self.tiebreak_col else [])
         return lww_dedup(df, self.key_col, order, strategy="maxby")
 
-    def lookup(self, keys: list, version: int | None = None) -> DataFrame:
+    def lookup(self, keys: list, version: int | str | None = None) -> DataFrame:
         """Point lookup: the ModifyWriter read path
         (``FeatureWriters.scala:126-147``) as a pruned scan.
 
@@ -722,14 +785,23 @@ class LakeTable:
         Metadata hygiene for long replays (10^4+ commits): time travel
         beyond the horizon is gone, exactly-once is preserved because the
         horizon must exceed any possible batch re-delivery window (the
-        streaming checkpoint already bounds it to the last epoch).  Run
-        ``vacuum()`` afterwards to free unreferenced data files.
+        streaming checkpoint already bounds it to the last epoch).  Tagged
+        versions are NEVER expired — that is a tag's purpose; delete the
+        tag first.  Run ``vacuum()`` afterwards to free unreferenced data
+        files.
         """
         versions = self.ledger._versions()
         drop = versions[:-keep_last] if keep_last > 0 else []
+        tagged = set(self.ledger.tags().values())
         removed = []
         for v in drop:
+            if v in tagged:
+                continue
             os.unlink(os.path.join(self.ledger.dir, f"v{v:012d}.json"))
+            # drop the memoized entry too — a same-process read of the
+            # expired version must fail, not serve from cache
+            self.ledger._snap_cache.pop(v, None)
+            self.ledger._refs_cache.pop(v, None)
             removed.append(v)
         return removed
 

@@ -269,3 +269,55 @@ def test_cli_index_create_refresh_lookup(spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     # LWW state: u1 -> v2 (later offset wins), u2 -> w1; 'late' lost
     assert {(r["url"], r["text"]) for r in rows} == {("u1", "v2")}
+
+
+def test_cli_tag_and_rollback(spark, tmp_path, capsys):
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    rc = main([
+        "create-table", "--table", table,
+        "--schema", "url string, warc_ts timestamp, offset long, text string",
+        "--key", "url", "--ts", "warc_ts", "--tiebreak", "offset",
+        "--buckets", "4",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    t = LakeTable(spark, table)
+    src = spark.range(20).select(
+        F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias("url"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("warc_ts"),
+        F.col("id").alias("offset"),
+        F.lit("x").alias("text"),
+        F.lit("upsert").alias("op"),
+    )
+    merge_changes(t, src, batch_id="b1")
+    good = t.snapshot().version
+
+    rc = main(["tag", "--table", table, "--name", "prod"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == good
+
+    merge_changes(
+        t,
+        spark.createDataFrame(
+            [("u0", dt.datetime(2030, 1, 1), 999, "BAD", "upsert")],
+            "url string, warc_ts timestamp, offset long, text string, op string",
+        ),
+        batch_id="bad",
+    )
+    rc = main(["rollback", "--table", table, "--tag", "prod"])
+    assert rc == 0
+    rb = json.loads(capsys.readouterr().out.strip())
+    assert rb["rollback_of"] == good
+    assert t.scan().filter("text = 'BAD'").count() == 0
+
+    rc = main(["tags", "--table", table])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"prod": good}
+
+    rc = main(["tag", "--table", table, "--name", "prod", "--delete"])
+    assert rc == 0
+    capsys.readouterr()
