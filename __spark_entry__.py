@@ -785,6 +785,41 @@ SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value FROM b
 """
 
 
+def _delete_where_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete (``DELETE FROM t WHERE event_type='error'``): the
+    reference's attribute-query + remove-all-matches delete, engine-side a
+    zone-map-pruned scan of the current matches merged as tombstones
+    (lake/merge.py::delete_where).  Final state = LWW winners minus keys
+    whose winner row matched the predicate; an older replayed upsert must
+    not resurrect a deleted key, which the scrambled re-merge asserts."""
+    from geomesa_nifi_spark.lake import delete_where, merge_changes
+
+    table = _replay_table(
+        spark, sf_dir, [0, 1, 2, 3], cache=False
+    )
+    delete_where(table, [("event_type", "=", "error")], batch_id="dw-error")
+    # replay one earlier batch again under a new id: every row is older
+    # than the stored winner or the tombstone, so the state must not move
+    ch = _changes(spark, sf_dir)
+    merge_changes(
+        table,
+        ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == 1),
+        batch_id="dw-replay",
+    )
+    return _final_state(table)
+
+
+_DELETE_WHERE_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww WHERE rn = 1 AND op <> 'delete' AND event_type <> 'error'
+"""
+
+
 _DBZ_PAYLOAD = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -1553,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stateful_lww": _stateful_lww,
         "cdc_append_only": _append_only_q,
         "cdc_debezium_ingest": _debezium_ingest,
+        "cdc_delete_where": _delete_where_q,
         "cdc_changelog": _changelog_read,
         "cdc_changes_kafka": _changes_kafka_roundtrip,
         "cdc_visibility": _visibility_filter,
@@ -1603,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stateful_lww": _STATEFUL_LWW_SQL,
         "cdc_append_only": _APPEND_ONLY_SQL,
         "cdc_debezium_ingest": _LWW_STATE_SQL,
+        "cdc_delete_where": _DELETE_WHERE_SQL,
         "cdc_changelog": _CHANGELOG_SQL,
         "cdc_changes_kafka": _CHANGELOG_SQL,
         "cdc_visibility": _VISIBILITY_SQL,

@@ -392,6 +392,23 @@ def _metadata_table(root: str):
     return LakeTable(None, root)  # type: ignore[arg-type]
 
 
+def _cmd_delete_where(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable, delete_where
+
+    spark = _spark("gns-delete-where")
+    table = LakeTable(spark, args.table)
+    res = delete_where(
+        table,
+        _parse_where(args.where),
+        batch_id=args.batch_id,
+        mode=args.mode,
+    )
+    print(json.dumps({"version": table.snapshot().version, **{
+        k: v for k, v in res.metrics.items() if isinstance(v, (int, bool, str))
+    }}, default=str))
+    return 0
+
+
 def _cmd_tag(args) -> int:
     table = _metadata_table(args.table)
     if args.delete:
@@ -551,6 +568,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--table", required=True)
     s.add_argument("--deltas", action="store_true")
     s.set_defaults(fn=_cmd_show)
+
+    dw = sub.add_parser("delete-where", help="tombstone all rows matching a predicate")
+    dw.add_argument("--table", required=True)
+    dw.add_argument("--where", action="append", required=True,
+                    help="col=val / col<val / ... (repeatable, ANDed)")
+    dw.add_argument("--batch-id", default=None)
+    dw.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    dw.set_defaults(fn=_cmd_delete_where)
 
     tg = sub.add_parser("tag", help="pin a snapshot version under a name")
     tg.add_argument("--table", required=True)

@@ -30,6 +30,7 @@ from geomesa_nifi_spark.lake.merge import (  # noqa: F401
     MergeResult,
     append_only,
     compact,
+    delete_where,
     merge_changes,
     migrate_layout,
     rewrite_fids,

@@ -848,6 +848,62 @@ def rewrite_fids(
     return result
 
 
+def delete_where(
+    table: LakeTable,
+    where: list[tuple],
+    batch_id: str | None = None,
+    lineage: dict | None = None,
+    mode: str = "cow",
+) -> MergeResult:
+    """``DELETE FROM table WHERE <predicate>`` as tombstone writes.
+
+    The reference deletes features by running an attribute query and
+    removing every match (the store-side delete behind
+    ``UpdateGeoMesaRecord``'s modify semantics); the engine's analogue is:
+    zone-map-pruned scan of the CURRENT matches (``where`` is a
+    ``stats.OPS`` conjunction, so only files whose min/max admit the
+    predicate are read), projected to key + LWW order keys only, merged as
+    ``op='delete'``.  The tombstone carries the victim's clock with the
+    tiebreak advanced by one (the ``update_by_attribute`` trick): it
+    dominates the stored row, and a RE-DELIVERED copy of the victim row —
+    which ties the victim's original clock, and order-key ties break
+    toward the source — still loses to the tombstone, keeping the delete
+    batching- and replay-order-independent.  On a table with no tiebreak
+    column the tombstone reuses the victim's ts unchanged and wins via
+    the source-preference tie rule; an exact re-delivery of the victim
+    row would then tie back — declare a tiebreak column on tables that
+    must survive at-least-once upstreams (the engine's default shape).
+
+    Cost: one pruned scan of key+order columns + one merge of O(matches)
+    rows.  At 100 TB a selective predicate touches only the files whose
+    zone maps admit it; the merge then prunes to the matched keys'
+    buckets like any CDC batch.  ``mode="mor"`` appends the tombstones as
+    delta files without reading the target at all.
+    """
+    key = table.key_col
+    ts_col = table.ts_col
+    tiebreak = table.tiebreak_col
+    if ts_col is None:
+        raise ValueError("delete_where needs an LWW ts_col on the table")
+    cur = table.scan(where=list(where))
+    batch = cur.select(
+        key,
+        ts_col,
+        *([(F.col(tiebreak) + F.lit(1)).alias(tiebreak)] if tiebreak else []),
+    ).withColumn(OP_COL_DEFAULT, F.lit(OP_DELETE))
+    return merge_changes(
+        table,
+        batch,
+        batch_id=batch_id,
+        mode=mode,
+        lineage={
+            **(lineage or {}),
+            "operation": "delete_where",
+            "where": [[c, op, str(v)] for c, op, v in where],
+        },
+    )
+
+
 def update_by_attribute(
     table: LakeTable,
     updates: DataFrame,

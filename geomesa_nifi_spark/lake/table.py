@@ -189,6 +189,20 @@ class LakeTable:
     def history(self) -> list[Snapshot]:
         return self.ledger.snapshots()
 
+    def version_as_of(self, ts_ms: int) -> int:
+        """The version visible at wall-clock ``ts_ms`` (epoch millis): the
+        newest snapshot committed at or before it — ``FOR SYSTEM_TIME AS
+        OF`` resolution over the ledger's commit timestamps.  Raises
+        ``KeyError`` when the moment predates the table (or the surviving
+        ledger horizon after ``expire_snapshots``)."""
+        best: int | None = None
+        for snap in self.ledger.snapshots():
+            if snap.created_ms <= ts_ms and (best is None or snap.version > best):
+                best = snap.version
+        if best is None:
+            raise KeyError(f"no snapshot at or before ts_ms={ts_ms}")
+        return best
+
     # -- tags & rollback -----------------------------------------------------
 
     def create_tag(self, name: str, version: int | None = None,

@@ -321,3 +321,28 @@ def test_cli_tag_and_rollback(spark, tmp_path, capsys):
     rc = main(["tag", "--table", table, "--name", "prod", "--delete"])
     assert rc == 0
     capsys.readouterr()
+
+
+def test_cli_delete_where(spark, tmp_path, capsys):
+    from geomesa_nifi_spark.lake import LakeTable
+
+    table = str(tmp_path / "t")
+    main([
+        "create-table", "--table", table,
+        "--schema", "url string, warc_ts timestamp, offset long, text string",
+        "--key", "url", "--ts", "warc_ts", "--tiebreak", "offset",
+        "--buckets", "4",
+    ])
+    _write_changes(spark, tmp_path / "changes")
+    main([
+        "replay", "--table", table, "--source", str(tmp_path / "changes"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--no-extract",
+    ])
+    capsys.readouterr()
+    rc = main(["delete-where", "--table", table, "--where", "text='v2'"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["version"] >= 2
+    t = LakeTable(spark, table)
+    assert t.scan().filter("text = 'v2'").count() == 0
+    assert t.scan().count() == 1  # u2 survives
