@@ -136,6 +136,13 @@ def kafka_records_to_changes(
     and conformed to ``value_schema`` by name — one message may carry many
     records.
 
+    ``value_format="debezium"`` / ``"debezium-flat"``: the value is a
+    Debezium change-event envelope (full, or flattened by the
+    ExtractNewRecordState SMT) over a row type of ``value_schema``
+    (``sources/debezium.py``); log-compaction tombstones (null value) are
+    dropped, and the output carries ``op``/``dbz_ts_ms``/``dbz_lsn`` on
+    top of the payload columns.
+
     The Kafka coordinates ride along as ``_kafka_partition`` /
     ``_kafka_offset`` lineage columns so per-partition offset ranges land
     in the commit lineage."""
@@ -155,8 +162,28 @@ def kafka_records_to_changes(
         if include_lineage:
             cols += ["_kafka_partition", "_kafka_offset"]
         return out.select(*cols)
+    if value_format in ("debezium", "debezium-flat"):
+        from geomesa_nifi_spark.sources.debezium import (
+            debezium_flat_to_changes,
+            debezium_to_changes,
+        )
+
+        src = df.filter(F.col("value").isNotNull()).select(
+            "value",
+            F.col("partition").alias("_kafka_partition"),
+            F.col("offset").alias("_kafka_offset"),
+        )
+        decode = (
+            debezium_flat_to_changes
+            if value_format == "debezium-flat"
+            else debezium_to_changes
+        )
+        pt = ("_kafka_partition", "_kafka_offset") if include_lineage else ()
+        return decode(src, value_schema, passthrough=pt)
     if value_format != "avro":
-        raise KafkaConfigError(f"value_format must be json|avro, got {value_format!r}")
+        raise KafkaConfigError(
+            f"value_format must be json|avro|debezium|debezium-flat, got {value_format!r}"
+        )
 
     from pyspark.sql import types as T
 

@@ -307,3 +307,72 @@ def test_table_changes_to_kafka_roundtrip(spark, tmp_path):
     assert {(r["url"], r["offset"]) for r in back_j.collect()} == {
         (r["url"], r["offset"]) for r in ch.collect()
     }
+
+
+def test_kafka_debezium_values(spark, tmp_path):
+    """Debezium-envelope values through the standard Kafka record shape:
+    decode -> merge == the same rows ingested natively; compaction
+    tombstones (null value) are dropped; lineage columns survive."""
+    from geomesa_nifi_spark.sources.debezium import encode_debezium
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_us", T.LongType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.range(60).select(
+        F.concat(F.lit("u"), (F.col("id") % 20).cast("string")).alias("url"),
+        (F.col("id") * 1_000_000).alias("warc_us"),
+        F.col("id").alias("offset"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 8 == 0, "delete").otherwise("upsert").alias("op"),
+        (F.col("id") * 1000).alias("ts_ms"),
+        F.col("id").alias("lsn"),
+    )
+    wire = encode_debezium(base, ts_ms_col="ts_ms", lsn_col="lsn")
+    recs = wire.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("pages").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("value").cast("string").alias("_x"),
+    ).withColumn("offset", F.monotonically_increasing_id()).select(
+        "key", "value", "topic", "partition", "offset",
+        F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
+    )
+    # add one compaction tombstone record (null value) — must be dropped
+    tomb = spark.createDataFrame(
+        [(b"u0", None, "pages", 0, 10_000, dt.datetime(2024, 1, 1), 0)],
+        KAFKA_RECORD_SCHEMA,
+    )
+    decoded = kafka_records_to_changes(
+        recs.unionByName(tomb), payload_schema, value_format="debezium"
+    )
+    assert "_kafka_offset" in decoded.columns
+    rows = decoded.collect()
+    assert len(rows) == 60  # tombstone dropped
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([f for f in payload_schema.fields]),
+        key_col="url", ts_col="warc_us", tiebreak_col="offset", num_buckets=4,
+    )
+    merge_changes(t, decoded.drop("dbz_ts_ms", "dbz_lsn",
+                                  "_kafka_partition", "_kafka_offset"),
+                  batch_id="dbz")
+    direct = (
+        base.withColumnRenamed("ts_ms", "_d1").drop("_d1", "lsn")
+    )
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"),
+        T.StructType([f for f in payload_schema.fields]),
+        key_col="url", ts_col="warc_us", tiebreak_col="offset", num_buckets=4,
+    )
+    merge_changes(t2, direct, batch_id="native")
+    got = sorted(map(tuple, t.scan().collect()))
+    want = sorted(map(tuple, t2.scan().collect()))
+    assert got == want and len(got) > 0
