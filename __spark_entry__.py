@@ -820,6 +820,56 @@ FROM lww WHERE rn = 1 AND op <> 'delete' AND event_type <> 'error'
 """
 
 
+def _rollback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag + rollback (lake/table.py): replay half the stream, tag it,
+    apply the remaining batches, then roll back to the tag — the visible
+    state must equal the LWW of ONLY the first half, the rollback lands as
+    a new commit (history intact), and a post-rollback batch replayed
+    under its original id is still skipped (exactly-once survives)."""
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    ch = _changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gns_entry_rb_") + "/pages"
+    table = LakeTable.create(
+        spark, root, _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset", num_buckets=16,
+    )
+    for b in (0, 1):
+        merge_changes(
+            table, ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"rb-{b}",
+        )
+    table.create_tag("halfway")
+    for b in (2, 3):
+        merge_changes(
+            table, ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"rb-{b}",
+        )
+    head_before = table.snapshot().version
+    table.rollback("halfway")
+    assert table.snapshot().version == head_before + 1
+    # exactly-once across the rollback: the rolled-back batch id is still
+    # committed, so re-delivery must not move the state
+    merge_changes(
+        table, ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == 2),
+        batch_id="rb-2",
+    )
+    assert table.snapshot().version == head_before + 1
+    return _final_state(table)
+
+
+_ROLLBACK_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+half AS (SELECT * FROM ch WHERE src_offset % 4 IN (0, 1)),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM half
+)
+SELECT url, epoch_us(warc_ts) AS warc_us, src_offset, event_type, value
+FROM lww WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 _DBZ_PAYLOAD = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -1589,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_append_only": _append_only_q,
         "cdc_debezium_ingest": _debezium_ingest,
         "cdc_delete_where": _delete_where_q,
+        "cdc_rollback": _rollback_q,
         "cdc_changelog": _changelog_read,
         "cdc_changes_kafka": _changes_kafka_roundtrip,
         "cdc_visibility": _visibility_filter,
@@ -1640,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_append_only": _APPEND_ONLY_SQL,
         "cdc_debezium_ingest": _LWW_STATE_SQL,
         "cdc_delete_where": _DELETE_WHERE_SQL,
+        "cdc_rollback": _ROLLBACK_SQL,
         "cdc_changelog": _CHANGELOG_SQL,
         "cdc_changes_kafka": _CHANGELOG_SQL,
         "cdc_visibility": _VISIBILITY_SQL,
