@@ -440,6 +440,38 @@ def _cmd_rollback(args) -> int:
     return 0
 
 
+def _cmd_branch(args) -> int:
+    table = _metadata_table(args.table)
+    if args.delete:
+        victims = table.drop_branch(args.name)
+        print(json.dumps({"dropped": args.name, "versions": victims}))
+    else:
+        at = args.at
+        if at is not None:
+            try:
+                at = int(at)
+            except ValueError:
+                pass  # a tag name
+        b = table.create_branch(args.name, at=at)
+        print(json.dumps({"branch": args.name, "head": b.snapshot().version}))
+    return 0
+
+
+def _cmd_branches(args) -> int:
+    print(json.dumps(_metadata_table(args.table).branches(), indent=2))
+    return 0
+
+
+def _cmd_publish(args) -> int:
+    snap = _metadata_table(args.table).publish_branch(args.name)
+    print(json.dumps({
+        "version": snap.version,
+        "published_branch": args.name,
+        "published_version": snap.summary["published_version"],
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="geomesa_nifi_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -598,6 +630,26 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--version", type=int)
     g.add_argument("--tag")
     rb.set_defaults(fn=_cmd_rollback)
+
+    br = sub.add_parser(
+        "branch", help="fork (or drop) an isolated branch for write-audit-publish"
+    )
+    br.add_argument("--table", required=True)
+    br.add_argument("name")
+    br.add_argument("--at", default=None, help="fork point: version or tag (default: head)")
+    br.add_argument("--delete", action="store_true")
+    br.set_defaults(fn=_cmd_branch)
+
+    bl = sub.add_parser("branches", help="list branches -> head version")
+    bl.add_argument("--table", required=True)
+    bl.set_defaults(fn=_cmd_branches)
+
+    pb = sub.add_parser(
+        "publish", help="atomically fast-forward main to an audited branch head"
+    )
+    pb.add_argument("--table", required=True)
+    pb.add_argument("name")
+    pb.set_defaults(fn=_cmd_publish)
 
     q = sub.add_parser("scan", help="predicate scan (zone-map pruned) to JSON lines")
     q.add_argument("--table", required=True)

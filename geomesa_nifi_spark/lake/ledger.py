@@ -51,6 +51,10 @@ from typing import Any, Callable
 
 LEDGER_DIR = "_ledger"
 SNAPSHOT_FMT = "v{:012d}.json"
+#: tombstone left behind by drop_branch: the version stays CLAIMED (never
+#: reused — every incremental ledger cache keys on a monotonic high-water
+#: mark) but carries no snapshot.  Atomic rename v->d, header-sized.
+DROPPED_FMT = "d{:012d}.json"
 MANIFEST_PREFIX = "m-"
 TAG_PREFIX = "tag-"
 _TAG_NAME_RE = None  # compiled lazily (regex import kept out of the hot path)
@@ -144,6 +148,14 @@ class Snapshot:
     manifest-form ledger entry (reading a snapshot's summary — the
     exactly-once batch-id walk — never opens a manifest); snapshots built
     in memory by writers carry their file list eagerly, unchanged.
+
+    ``branch``: the named line of history this snapshot extends (default
+    ``"main"``).  Version numbers stay GLOBAL — every commit, on any
+    branch, claims the next ledger version with O_EXCL, which is what
+    keeps commits atomic — but lineage is the ``parent_version`` chain,
+    so branches diverge within one shared version namespace (Iceberg's
+    snapshot-DAG-plus-refs model, with the ref stored on the snapshot
+    itself).  Snapshots written before branches existed parse as main.
     """
 
     def __init__(
@@ -156,6 +168,7 @@ class Snapshot:
         parent_version: int | None = None,
         created_ms: int = 0,
         files_loader: Callable[[], list[DataFile]] | None = None,
+        branch: str = "main",
     ):
         if files is None and files_loader is None:
             raise ValueError("Snapshot needs files or files_loader")
@@ -165,6 +178,7 @@ class Snapshot:
         self.summary = dict(summary or {})
         self.parent_version = parent_version
         self.created_ms = created_ms
+        self.branch = branch
         self._files = files
         self._files_loader = files_loader
 
@@ -182,7 +196,7 @@ class Snapshot:
     def to_json(self) -> dict[str, Any]:
         """Inline (manifest-free) JSON form — the pre-manifest ledger format,
         kept for tooling/tests; ``Ledger.commit`` writes the manifest form."""
-        return {
+        out = {
             "version": self.version,
             "schema_json": self.schema_json,
             "files": [f.to_json() for f in self.files],
@@ -191,6 +205,9 @@ class Snapshot:
             "parent_version": self.parent_version,
             "created_ms": self.created_ms,
         }
+        if self.branch != "main":
+            out["branch"] = self.branch
+        return out
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Snapshot":
@@ -203,6 +220,7 @@ class Snapshot:
             summary=dict(d.get("summary") or {}),
             parent_version=d.get("parent_version"),
             created_ms=int(d.get("created_ms") or 0),
+            branch=d.get("branch", "main"),
         )
 
 
@@ -249,6 +267,69 @@ class Ledger:
     def current_version(self) -> int | None:
         versions = self._versions()
         return versions[-1] if versions else None
+
+    def _claimed_versions(self) -> list[int]:
+        """Every version number ever claimed: live snapshots plus
+        drop_branch tombstones.  Version numbers are NEVER reused — the
+        incremental caches (branch heads, batch ids) key on a monotonic
+        high-water mark, and a reused number would be invisible to any
+        handle that already scanned past it."""
+        if not os.path.isdir(self.dir):
+            return []
+        out = []
+        for name in os.listdir(self.dir):
+            if name.endswith(".json") and name[0] in ("v", "d"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def next_version(self) -> int:
+        """The next free GLOBAL version number.  Branch commits allocate
+        from the same sequence as main (the O_EXCL claim on the version
+        file is the atomicity primitive), so this is max+1 over every
+        claimed number — including drop_branch tombstones — regardless of
+        which branch the committing writer extends."""
+        claimed = self._claimed_versions()
+        return claimed[-1] + 1 if claimed else 0
+
+    # -- branches ----------------------------------------------------------
+    #
+    # A branch is the chain of snapshots labeled with its name; the head is
+    # simply the newest such snapshot.  Heads are maintained incrementally
+    # (only versions newer than the last walk are opened — header-only
+    # reads, never manifests), mirroring the committed_batch_ids() walk.
+
+    def _scan_branch_heads(self) -> dict[str, int]:
+        if not hasattr(self, "_branch_heads"):
+            self._branch_heads: dict[str, int] = {}
+            self._branch_seen_version = -1
+        live = self._versions()
+        for v in live:
+            if v > self._branch_seen_version:
+                b = self.snapshot(v).branch
+                if self._branch_heads.get(b, -1) < v:
+                    self._branch_heads[b] = v
+                self._branch_seen_version = v
+        # a drop_branch (this process or another) deletes the branch's
+        # snapshot files — a cached head whose version no longer exists is
+        # a dead branch, not a stale answer waiting to be served
+        live_set = set(live)
+        for b, v in list(self._branch_heads.items()):
+            if v not in live_set:
+                del self._branch_heads[b]
+        return self._branch_heads
+
+    def head_version(self, branch: str = "main") -> int | None:
+        """Newest version on ``branch`` (None if the branch has no
+        snapshots).  For ``main`` on a pre-branch ledger this is exactly
+        ``current_version()`` — every legacy snapshot is main."""
+        return self._scan_branch_heads().get(branch)
+
+    def branches(self) -> dict[str, int]:
+        """All branch names -> head version."""
+        return dict(self._scan_branch_heads())
 
     # -- tags --------------------------------------------------------------
     #
@@ -346,6 +427,7 @@ class Ledger:
                     summary=dict(d.get("summary") or {}),
                     parent_version=d.get("parent_version"),
                     created_ms=int(d.get("created_ms") or 0),
+                    branch=d.get("branch", "main"),
                 )
             else:
                 self._refs_cache[int(d["version"])] = None
@@ -383,9 +465,16 @@ class Ledger:
         detected."""
         for v in self._versions():
             if v > self._batch_ids_seen_version:
-                bid = self.snapshot(v).summary.get("batch_id")
+                summary = self.snapshot(v).summary
+                bid = summary.get("batch_id")
                 if bid is not None:
                     self._batch_ids.add(str(bid))
+                # a WAP publish carries its staged commits' batch ids, so
+                # exactly-once survives drop_branch / expiry of the staged
+                # snapshots themselves
+                self._batch_ids.update(
+                    str(b) for b in summary.get("published_batch_ids") or []
+                )
                 self._batch_ids_seen_version = v
         return self._batch_ids
 
@@ -440,6 +529,25 @@ class Ledger:
             "rows": sum(f.rows for f in files),
         }
 
+    def _same_branch_in_gap(
+        self, branch: str, parent: int | None, version: int
+    ) -> int | None:
+        """First version strictly between ``parent`` and ``version`` that
+        was committed to ``branch``, or None.  An up-to-date writer has an
+        empty gap, so the common-case cost is one directory listing; the
+        gap is non-empty only when version numbers (a GLOBAL sequence) were
+        claimed by OTHER branches' writers in between, and those header
+        reads are memoized."""
+        lo = -1 if parent is None else parent
+        for v in self._versions():
+            if lo < v < version:
+                try:
+                    if self.snapshot(v).branch == branch:
+                        return v
+                except FileNotFoundError:
+                    continue  # retracted by a concurrent loser mid-check
+        return None
+
     def commit(self, snapshot: Snapshot) -> Snapshot:
         """Atomically publish ``snapshot`` as the next ledger version.
 
@@ -450,8 +558,34 @@ class Ledger:
         exists another writer won the race -> CommitConflict (caller
         re-reads and retries on top of the new state; its orphaned
         manifests are collected by vacuum).
+
+        Version numbers are GLOBAL across branches, so a version collision
+        alone no longer proves the writer's base is current: a concurrent
+        commit *to the same branch* may have claimed a lower free version,
+        and blindly publishing on top would silently drop its files from
+        this snapshot's list (lost update).  ``commit`` therefore also
+        enforces branch-head optimistic concurrency: no snapshot on this
+        snapshot's branch may exist between ``parent_version`` and the
+        claimed version.  Checked cheaply before the claim (no orphan
+        manifests, no exposure) and re-checked after the O_EXCL link wins
+        (closing the race); a post-link violation retracts the published
+        header and raises :class:`CommitConflict` like any lost race.  The
+        retraction window — link to unlink — is a few microseconds of
+        metadata work; a concurrent *process* listing the ledger inside it
+        could transiently observe the doomed version (same caveat class as
+        Iceberg on filesystems without atomic conditional-put; an
+        object-store deployment would use If-None-Match on the header and
+        have no window at all).
         """
         os.makedirs(self.dir, exist_ok=True)
+        clash = self._same_branch_in_gap(
+            snapshot.branch, snapshot.parent_version, snapshot.version
+        )
+        if clash is not None:
+            raise CommitConflict(
+                f"branch {snapshot.branch!r} advanced to v{clash} past this "
+                f"writer's base v{snapshot.parent_version} in {self.dir}"
+            )
         snapshot.created_ms = int(time.time() * 1000)
 
         groups: dict[tuple[int, str], list[DataFile]] = {}
@@ -478,6 +612,8 @@ class Ledger:
             "parent_version": snapshot.parent_version,
             "created_ms": snapshot.created_ms,
         }
+        if snapshot.branch != "main":
+            doc["branch"] = snapshot.branch
         path = os.path.join(self.dir, SNAPSHOT_FMT.format(snapshot.version))
         tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
@@ -494,6 +630,21 @@ class Ledger:
             ) from exc
         finally:
             os.unlink(tmp)
+        # Re-validate branch-head currency now that the claim is ordered:
+        # a same-branch commit that linked a lower version between our
+        # pre-check and our link would otherwise be silently leapfrogged.
+        clash = self._same_branch_in_gap(
+            snapshot.branch, snapshot.parent_version, snapshot.version
+        )
+        if clash is not None:
+            os.unlink(path)
+            self._snap_cache.pop(snapshot.version, None)
+            self._refs_cache.pop(snapshot.version, None)
+            raise CommitConflict(
+                f"branch {snapshot.branch!r} advanced to v{clash} past this "
+                f"writer's base v{snapshot.parent_version} in {self.dir} "
+                f"(claim v{snapshot.version} retracted)"
+            )
         self._snap_cache[snapshot.version] = snapshot
         self._refs_cache[snapshot.version] = refs
         return snapshot

@@ -10,9 +10,10 @@ canonical consumer: classic incremental view maintenance (IVM) of
 How a refresh works (versions ``(from_v, to_v]`` of the source):
 
 1. The commits in range are classified driver-side from ledger metadata.
-   Only ``merge`` / ``merge_mor`` / ``append`` change logical rows;
-   ``compact`` / ``rescale(_lazy)`` / ``evolve_schema`` rewrite or stamp
-   files without changing any row and are skipped outright.
+   ``compact`` / ``rescale(_lazy)`` / ``evolve_schema`` / ``create(_branch)``
+   rewrite or stamp files without changing any row and are skipped
+   outright; every other operation (merge/merge_mor/append, but equally
+   rollback and WAP publish) is diffed by file list against its parent.
 2. The union of buckets those commits touched bounds the diff: the
    pre-image is ``source.scan(version=from_v, buckets=B)`` and the
    post-image ``source.scan(version=to_v, buckets=B)`` — both bucket-
@@ -57,10 +58,18 @@ from geomesa_nifi_spark.lake.table import LakeTable
 MV_KEY = "_mv_key"
 MV_VERSION = "_mv_version"
 
-#: source-commit operations that change logical rows; everything else
-#: (create/compact/rescale/rescale_lazy/evolve_schema) only reorganizes
-#: files or metadata and never moves the view
-_DATA_OPS = {"merge", "merge_mor", "append"}
+#: source-commit operations that provably do NOT change logical rows —
+#: they only reorganize files or metadata.  Everything else (merge /
+#: merge_mor / append, but also rollback, publish, and any future op) is
+#: treated as data-changing and has its file lists diffed: every commit
+#: carries a full file list, so the parent diff bounds its touched
+#: buckets regardless of what the operation was.  A denylist fails SAFE —
+#: an unknown op widens the diff (extra buckets' unchanged rows cancel
+#: exactly), whereas the old allowlist silently skipped rollback commits.
+_ROW_PRESERVING_OPS = {
+    "create", "create_branch", "compact", "rescale", "rescale_lazy",
+    "evolve_schema", "audit_reject",
+}
 
 
 class MaterializeRetentionError(RuntimeError):
@@ -197,35 +206,48 @@ def _touched_in_range(
     """(nb, bucket) pairs whose rows may differ in ``(from_v, to_v]``, and
     whether any data-changing commit exists in the range.  Raises
     :class:`MaterializeRetentionError` when the range is not fully
-    retained in the ledger."""
-    hist = {s.version: s for s in source.history()}
+    retained in the ledger.
+
+    The range is the PARENT CHAIN from ``to_v`` back to ``from_v`` —
+    version numbers are a ledger-global sequence shared by every branch,
+    so a numeric walk would visit unrelated branches' commits; the chain
+    is exactly the refreshed lineage (and it crosses a branch fork
+    correctly when the consumer tracks a branch head)."""
     touched: set[tuple[int, int]] = set()
     any_data = False
-    for v in range(from_v, to_v + 1):
-        if v not in hist:
-            raise MaterializeRetentionError(
-                f"source snapshot v{v} inside refresh range ({from_v}, {to_v}] "
-                f"was expired (expire_snapshots horizon); rebuild() the view"
-            )
-    for v in range(from_v + 1, to_v + 1):
-        snap = hist[v]
-        if snap.summary.get("operation") not in _DATA_OPS:
+    chain: list = []  # (snap, parent) pairs, newest first
+    try:
+        s = source.snapshot(to_v)
+        while s.version != from_v:
+            if s.parent_version is None or s.version < from_v:
+                raise MaterializeRetentionError(
+                    f"source v{from_v} is not an ancestor of v{to_v} "
+                    f"(diverged or expired lineage); rebuild() the view"
+                )
+            p = source.snapshot(s.parent_version)
+            chain.append((s, p))
+            s = p
+    except FileNotFoundError as exc:
+        raise MaterializeRetentionError(
+            f"a snapshot inside refresh range ({from_v}, {to_v}] was "
+            f"expired (expire_snapshots horizon); rebuild() the view"
+        ) from exc
+    for snap, parent in reversed(chain):
+        if snap.summary.get("operation") in _ROW_PRESERVING_OPS:
             continue
         any_data = True
         nb = int(snap.properties["num_buckets"])
-        parent = hist.get(snap.parent_version) if snap.parent_version is not None else None
-        parent_paths = {f.path for f in parent.files} if parent else set()
+        parent_paths = {f.path for f in parent.files}
         paths = {f.path for f in snap.files}
         for f in snap.files:
             if f.path not in parent_paths:
                 touched.update((nb, b) for b in covered_buckets(f, nb))
-        if parent is not None:
-            pnb = int(parent.properties["num_buckets"])
-            for f in parent.files:
-                if f.path not in paths:
-                    # a CoW merge can retire a bucket's only file (all rows
-                    # deleted) without adding a replacement
-                    touched.update((pnb, b) for b in covered_buckets(f, pnb))
+        pnb = int(parent.properties["num_buckets"])
+        for f in parent.files:
+            if f.path not in paths:
+                # a CoW merge can retire a bucket's only file (all rows
+                # deleted) without adding a replacement
+                touched.update((pnb, b) for b in covered_buckets(f, pnb))
     return touched, any_data
 
 

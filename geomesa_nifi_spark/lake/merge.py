@@ -302,7 +302,7 @@ def _merge_mor(
         )
         return table.ledger.commit(
             Snapshot(
-                version=base_snap.version + 1,
+                version=table.ledger.next_version(),
                 schema_json=committed.json(),
                 files=base_snap.files + new_files,
                 properties=dict(base_snap.properties),
@@ -314,6 +314,7 @@ def _merge_mor(
                     "lineage": lineage or {},
                 },
                 parent_version=base_snap.version,
+                branch=table.branch,
             )
         )
 
@@ -535,12 +536,24 @@ def _conflicts_are_compaction_only(table, base, newer, touched) -> bool:
     compaction dropped, which is conservative — they only ever *block* stale
     replays.)  Metadata-only: walks the snapshot file lists, no data IO."""
     t = set(touched)
-    prev = base
-    for v in range(base.version + 1, newer.version + 1):
+    # Walk NEWER's parent chain back to BASE: version numbers are a global
+    # sequence shared by every branch, so iterating the numeric range would
+    # also visit unrelated branches' commits — the parent chain is the
+    # branch-local history.  A chain that never reaches base (diverged, or
+    # an expired intermediate) conservatively reports False (redo).
+    chain: list = []
+    s = newer
+    while s.version != base.version:
+        if s.parent_version is None or s.version <= base.version:
+            return False
         try:
-            s = table.snapshot(v)
+            p = table.snapshot(s.parent_version)
         except Exception:
             return False
+        chain.append(s)
+        s = p
+    prev = base
+    for s in reversed(chain):
         nb = int(s.properties["num_buckets"])
         prev_paths = {f.path for f in prev.files}
         cur_paths = {f.path for f in s.files}
@@ -735,7 +748,7 @@ def append_only(
         try:
             snap = table.ledger.commit(
                 Snapshot(
-                    version=base.version + 1,
+                    version=table.ledger.next_version(),
                     schema_json=base.schema_json,
                     files=base.files + new_files,
                     properties=dict(base.properties),
@@ -746,6 +759,7 @@ def append_only(
                         "lineage": lineage or {},
                     },
                     parent_version=base.version,
+                    branch=table.branch,
                 )
             )
             break

@@ -47,6 +47,13 @@ from geomesa_nifi_spark.lake.ledger import (
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"  # hidden tombstone flag; see merge.py
 
+
+class PublishConflict(Exception):
+    """Write-Audit-Publish fast-forward refused: the target branch moved
+    past the audited branch's fork point, so the staged state was audited
+    against a stale base.  Re-fork and re-audit, or replay the staged
+    batches (exactly-once by batch id) onto the new head."""
+
 #: Spark types whose parquet footer min/max we record as zone maps
 _STAT_TYPES = (
     "string", "byte", "short", "integer", "long", "float", "double",
@@ -60,9 +67,10 @@ except ImportError:  # pragma: no cover
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, branch: str = "main"):
         self.spark = spark
         self.root = root
+        self.branch = branch
         self.ledger = Ledger(root)
         # key_col/ts_col/tiebreak_col are fixed at CREATE and copied forward
         # verbatim by every commit; cache them so property accessors don't
@@ -149,9 +157,19 @@ class LakeTable:
     # -- metadata ----------------------------------------------------------
 
     def snapshot(self, version: int | str | None = None) -> Snapshot:
-        """Snapshot by version number, by TAG NAME (a string), or current."""
+        """Snapshot by version number, by TAG NAME (a string), or — with no
+        argument — the head of this handle's BRANCH (``main`` unless the
+        table was opened via :meth:`for_branch`).  Explicit versions and
+        tags resolve across branches; they name a point in the shared
+        version namespace."""
         if isinstance(version, str):
             version = self.ledger.resolve_tag(version)
+        if version is None:
+            version = self.ledger.head_version(self.branch)
+            if version is None:
+                if not self.ledger.exists():
+                    raise FileNotFoundError(f"no snapshots in {self.ledger.dir}")
+                raise KeyError(f"no branch {self.branch!r} in {self.ledger.dir}")
         return self.ledger.snapshot(version)
 
     def schema(self, version: int | None = None) -> T.StructType:
@@ -186,8 +204,14 @@ class LakeTable:
         """The CURRENT bucket modulus (version-sensitive — see ``rescale``)."""
         return int(self.snapshot().properties["num_buckets"])
 
-    def history(self) -> list[Snapshot]:
-        return self.ledger.snapshots()
+    def history(self, all_branches: bool = False) -> list[Snapshot]:
+        """Snapshots of this handle's branch (version order); legacy
+        pre-branch ledgers are all-main, so default behavior is unchanged.
+        ``all_branches=True`` returns every snapshot in the ledger."""
+        snaps = self.ledger.snapshots()
+        if all_branches:
+            return snaps
+        return [s for s in snaps if s.branch == self.branch]
 
     def version_as_of(self, ts_ms: int) -> int:
         """The version visible at wall-clock ``ts_ms`` (epoch millis): the
@@ -196,7 +220,7 @@ class LakeTable:
         ``KeyError`` when the moment predates the table (or the surviving
         ledger horizon after ``expire_snapshots``)."""
         best: int | None = None
-        for snap in self.ledger.snapshots():
+        for snap in self.history():
             if snap.created_ms <= ts_ms and (best is None or snap.version > best):
                 best = snap.version
         if best is None:
@@ -226,6 +250,273 @@ class LakeTable:
     def tags(self) -> dict[str, int]:
         return self.ledger.tags()
 
+    # -- branches & write-audit-publish --------------------------------------
+    #
+    # A branch is an isolated line of history inside the shared ledger:
+    # branch commits claim global version numbers (same O_EXCL atomicity)
+    # but chain through their own parent pointers, and readers of a branch
+    # resolve its own head — main readers never see staged work.  The
+    # canonical use is Write-Audit-Publish: fork an audit branch at the
+    # main head, replay CDC batches onto it with the ordinary writers
+    # (``for_branch`` returns a handle every merge/compact/evolve path
+    # works on unchanged), validate the staged state, then
+    # ``publish_branch`` fast-forwards main to it in one atomic
+    # metadata-only commit (the staged data files are simply re-referenced
+    # — nothing is rewritten, so publish is O(#file-groups) regardless of
+    # staged volume, which is what makes WAP viable at 100 TB).
+
+    def for_branch(self, name: str) -> "LakeTable":
+        """A handle on the same table bound to ``name`` — every read and
+        write through it targets that branch's head."""
+        return LakeTable(self.spark, self.root, branch=name)
+
+    def branches(self) -> dict[str, int]:
+        """All branch names -> head version (``main`` included)."""
+        return self.ledger.branches()
+
+    def create_branch(
+        self, name: str, at: int | str | None = None, retries: int = 5
+    ) -> "LakeTable":
+        """Fork branch ``name`` at version ``at`` (default: this handle's
+        head) and return a handle bound to it.
+
+        The fork is ONE metadata-only commit that re-references the fork
+        point's manifests — O(#file-groups), no data movement.  The new
+        snapshot records ``forked_from`` for audit; publishing later
+        requires main not to have moved past that fork point."""
+        if name == "main":
+            raise ValueError("'main' always exists; fork under another name")
+        if self.ledger.head_version(name) is not None:
+            raise FileExistsError(f"branch {name!r} already exists")
+        src = self.snapshot(at)
+        last: Exception | None = None
+        for _ in range(retries):
+            snap = Snapshot(
+                version=self.ledger.next_version(),
+                schema_json=src.schema_json,
+                files=src.files,
+                properties=dict(src.properties),
+                summary={
+                    "operation": "create_branch",
+                    "branch": name,
+                    "forked_from": src.version,
+                },
+                parent_version=src.version,
+                branch=name,
+            )
+            try:
+                self.ledger.commit(snap)
+                return self.for_branch(name)
+            except CommitConflict as exc:  # version race with another writer
+                if self.ledger.head_version(name) is not None:
+                    # the conflict was a concurrent create of THIS branch
+                    raise FileExistsError(
+                        f"branch {name!r} already exists"
+                    ) from exc
+                last = exc
+        raise last  # type: ignore[misc]
+
+    def _fork_version(self, name: str) -> int | None:
+        """The version branch ``name`` forked from: walk the branch's own
+        parent chain to the first snapshot labeled with a different
+        branch.  Needs only the branch's snapshots (protected from
+        expiry), so it stays answerable even when the fork-point snapshot
+        itself has been expired."""
+        v = self.ledger.head_version(name)
+        if v is None:
+            raise KeyError(f"no branch {name!r} in {self.ledger.dir}")
+        s = self.ledger.snapshot(v)
+        while True:
+            p = s.parent_version
+            if p is None:
+                return None
+            try:
+                ps = self.ledger.snapshot(p)
+            except FileNotFoundError:
+                return p
+            if ps.branch != name:
+                return p
+            s = ps
+
+    def publish_branch(self, name: str, retries: int = 5) -> Snapshot:
+        """Atomically fast-forward THIS branch (normally main) to branch
+        ``name``'s head — the Publish step of Write-Audit-Publish.
+
+        Strict fast-forward: if this branch has committed anything since
+        the fork, raises :class:`PublishConflict` — the staged state was
+        audited against a base that no longer exists, so the caller must
+        re-fork and re-audit (or replay the staged batches onto the new
+        head; their batch ids make that exactly-once).  The published
+        commit carries the branch head's files, schema AND properties (a
+        rescale or schema evolution staged on the branch publishes with
+        it), exactly like ``rollback`` restores all three.
+
+        The publish commit also carries the staged commits' BATCH IDS
+        (``published_batch_ids``): exactly-once must survive the branch's
+        later deletion (``drop_branch``) or expiry of its interior
+        snapshots — a re-delivered staged batch is detected from the
+        publish commit alone, in any process.  It likewise records each
+        staged commit's operation, batch id and ADDED FILES
+        (``published_commits``): for MoR/append staged commits the added
+        delta files hold exactly the change rows, so the changelog reader
+        can expand the publish even after the branch is dropped (the
+        streaming WAP path drops its per-epoch branch right after
+        publishing)."""
+        bhead = self.ledger.head_version(name)
+        if bhead is None:
+            raise KeyError(f"no branch {name!r} in {self.ledger.dir}")
+        bsnap = self.ledger.snapshot(bhead)
+        fork = self._fork_version(name)
+        # staged batch ids ride the publish commit so exactly-once outlives
+        # the branch snapshots themselves; nested publishes fold theirs in
+        staged_ids: list[str] = []
+        published_commits: list[dict] = []
+        s = bsnap
+        while s.version != fork:
+            bid = s.summary.get("batch_id")
+            if bid is not None:
+                staged_ids.append(str(bid))
+            staged_ids.extend(s.summary.get("published_batch_ids") or [])
+            if s.parent_version is None:
+                break
+            try:
+                parent = self.ledger.snapshot(s.parent_version)
+            except FileNotFoundError:
+                parent = None
+            if parent is not None:
+                pp = {f.path for f in parent.files}
+                published_commits.append({
+                    "version": s.version,
+                    "operation": s.summary.get("operation"),
+                    "batch_id": bid if bid is None else str(bid),
+                    "added_files": [
+                        f.path for f in s.files if f.path not in pp
+                    ],
+                })
+                s = parent
+            else:  # expired interior snapshot: diff unknowable
+                published_commits.append({
+                    "version": s.version,
+                    "operation": s.summary.get("operation"),
+                    "batch_id": bid if bid is None else str(bid),
+                    "added_files": None,
+                })
+                break
+        staged_ids.reverse()
+        published_commits.reverse()
+        last: Exception | None = None
+        for _ in range(retries):
+            cur = self.snapshot()
+            if cur.version != fork:
+                raise PublishConflict(
+                    f"branch {name!r} forked from v{fork} but {self.branch!r} "
+                    f"is now at v{cur.version}; re-fork and re-audit, or "
+                    f"replay the staged batches onto the current head"
+                )
+            snap = Snapshot(
+                version=self.ledger.next_version(),
+                schema_json=bsnap.schema_json,
+                files=bsnap.files,
+                properties=dict(bsnap.properties),
+                summary={
+                    "operation": "publish",
+                    "published_branch": name,
+                    "published_version": bhead,
+                    "forked_from": fork,
+                    "published_batch_ids": staged_ids,
+                    "published_commits": published_commits,
+                },
+                parent_version=cur.version,
+                branch=self.branch,
+            )
+            try:
+                return self.ledger.commit(snap)
+            except CommitConflict as exc:  # re-read: maybe another branch's
+                last = exc                 # writer just took the version
+        raise last  # type: ignore[misc]
+
+    def drop_branch(self, name: str) -> list[int]:
+        """Delete branch ``name``'s snapshots from the ledger (abandoned
+        audit work).  Tagged versions refuse — delete the tag first.  The
+        branch's data files become unreferenced; run ``vacuum()`` to free
+        them.  Exactly-once bookkeeping: batch ids staged ONLY on the
+        dropped branch become re-ingestable (the work was abandoned);
+        ids the branch PUBLISHED stay committed forever — they ride the
+        publish commit's ``published_batch_ids``, not the branch
+        snapshots (the in-process cache is rebuilt from the retained
+        ledger on the next merge)."""
+        if name == "main":
+            raise ValueError("cannot drop 'main'")
+        victims = [s.version for s in self.ledger.snapshots() if s.branch == name]
+        if not victims:
+            raise KeyError(f"no branch {name!r} in {self.ledger.dir}")
+        tagged = {v for v in self.ledger.tags().values() if v in victims}
+        if tagged:
+            raise ValueError(
+                f"branch {name!r} has tagged versions {sorted(tagged)}; "
+                f"delete the tags first"
+            )
+        from geomesa_nifi_spark.lake.ledger import DROPPED_FMT, SNAPSHOT_FMT
+
+        for v in victims:
+            # rename -> tombstone (atomic): the version number stays
+            # CLAIMED so next_version never reuses it — a reused number
+            # would be invisible to every incremental ledger cache (branch
+            # heads, exactly-once batch ids) that already scanned past it,
+            # in this or any other process
+            os.rename(
+                os.path.join(self.ledger.dir, SNAPSHOT_FMT.format(v)),
+                os.path.join(self.ledger.dir, DROPPED_FMT.format(v)),
+            )
+            self.ledger._snap_cache.pop(v, None)
+            self.ledger._refs_cache.pop(v, None)
+        heads = getattr(self.ledger, "_branch_heads", None)
+        if heads is not None:
+            heads.pop(name, None)
+        # rebuild the exactly-once cache from the RETAINED ledger: ids
+        # staged only on the dropped branch become re-ingestable; published
+        # ids persist via the publish commits' published_batch_ids
+        self.ledger._batch_ids = set()
+        self.ledger._batch_ids_seen_version = -1
+        return victims
+
+    def record_audit_reject(
+        self,
+        batch_id: str,
+        reason: str | None = None,
+        staged_version: int | None = None,
+        retries: int = 5,
+    ) -> Snapshot:
+        """Commit a NO-OP snapshot recording that ``batch_id`` was staged,
+        failed its Write-Audit-Publish audit, and was rejected — the lake
+        analogue of NiFi's route-to-failure.  The commit changes no files
+        or rows (changelog readers and MV refresh skip it) but carries the
+        batch id, so a crash/restart RE-DELIVERY of the rejected batch is
+        skipped by the ordinary exactly-once check instead of being
+        re-staged and re-failed forever."""
+        last: Exception | None = None
+        for _ in range(retries):
+            base = self.snapshot()
+            snap = Snapshot(
+                version=self.ledger.next_version(),
+                schema_json=base.schema_json,
+                files=base.files,
+                properties=dict(base.properties),
+                summary={
+                    "operation": "audit_reject",
+                    "batch_id": str(batch_id),
+                    "reason": reason,
+                    "staged_version": staged_version,
+                },
+                parent_version=base.version,
+                branch=self.branch,
+            )
+            try:
+                return self.ledger.commit(snap)
+            except CommitConflict as exc:
+                last = exc
+        raise last  # type: ignore[misc]
+
     def rollback(self, version: int | str, retries: int = 5) -> Snapshot:
         """Restore the table's visible state to ``version`` (or tag name)
         as a NEW commit — history is never rewritten, so concurrent readers
@@ -246,7 +537,7 @@ class LakeTable:
             if cur.version == target.version:
                 return cur
             snap = Snapshot(
-                version=cur.version + 1,
+                version=self.ledger.next_version(),
                 schema_json=target.schema_json,
                 files=target.files,
                 properties=dict(target.properties),
@@ -256,6 +547,7 @@ class LakeTable:
                     "previous_head": cur.version,
                 },
                 parent_version=cur.version,
+                branch=self.branch,
             )
             try:
                 return self.ledger.commit(snap)
@@ -636,12 +928,13 @@ class LakeTable:
             else:
                 kept.append(f)
         snap = Snapshot(
-            version=base.version + 1,
+            version=self.ledger.next_version(),
             schema_json=schema_json or base.schema_json,
             files=kept + list(new_files),
             properties=properties or dict(base.properties),
             summary=summary,
             parent_version=base.version,
+            branch=self.branch,
         )
         return self.ledger.commit(snap)
 
@@ -654,12 +947,13 @@ class LakeTable:
         """
         base = self.snapshot()
         snap = Snapshot(
-            version=base.version + 1,
+            version=self.ledger.next_version(),
             schema_json=new_schema.json(),
             files=base.files,
             properties=dict(base.properties),
             summary={"operation": "evolve_schema", **(summary or {})},
             parent_version=base.version,
+            branch=self.branch,
         )
         return self.ledger.commit(snap)
 
@@ -740,7 +1034,7 @@ class LakeTable:
                 props = dict(base.properties)
                 props["num_buckets"] = str(new_num_buckets)
                 snap = Snapshot(
-                    version=base.version + 1,
+                    version=self.ledger.next_version(),
                     schema_json=base.schema_json,
                     files=stamped,
                     properties=props,
@@ -753,6 +1047,7 @@ class LakeTable:
                         ),
                     },
                     parent_version=base.version,
+                    branch=self.branch,
                 )
                 try:
                     return self.ledger.commit(snap)
@@ -775,7 +1070,7 @@ class LakeTable:
             props = dict(base.properties)
             props["num_buckets"] = str(new_num_buckets)
             snap = Snapshot(
-                version=base.version + 1,
+                version=self.ledger.next_version(),
                 schema_json=base.schema_json,
                 files=new_files,
                 properties=props,
@@ -786,6 +1081,7 @@ class LakeTable:
                     "rows_written": sum(f.rows for f in new_files),
                 },
                 parent_version=base.version,
+                branch=self.branch,
             )
             try:
                 return self.ledger.commit(snap)
@@ -801,12 +1097,18 @@ class LakeTable:
         horizon must exceed any possible batch re-delivery window (the
         streaming checkpoint already bounds it to the last epoch).  Tagged
         versions are NEVER expired — that is a tag's purpose; delete the
-        tag first.  Run ``vacuum()`` afterwards to free unreferenced data
-        files.
+        tag first.  Branch HEADS are likewise protected (versions are a
+        global sequence, so a quiet audit branch would otherwise be
+        destroyed by an active main churning past ``keep_last``); a
+        branch's interior snapshots may expire like any others, degrading
+        its changelog range to the usual loud retention error.  Run
+        ``vacuum()`` afterwards to free unreferenced data files.
         """
         versions = self.ledger._versions()
         drop = versions[:-keep_last] if keep_last > 0 else []
-        tagged = set(self.ledger.tags().values())
+        tagged = set(self.ledger.tags().values()) | set(
+            self.ledger.branches().values()
+        )
         removed = []
         for v in drop:
             if v in tagged:
@@ -817,6 +1119,16 @@ class LakeTable:
             self.ledger._snap_cache.pop(v, None)
             self.ledger._refs_cache.pop(v, None)
             removed.append(v)
+        # drop_branch tombstones below the horizon can go too: versions
+        # above the newest LIVE snapshot stay claimed, so the version
+        # sequence never runs backwards
+        if versions and keep_last > 0 and len(versions) > keep_last:
+            cutoff = versions[-keep_last]
+            for c in self.ledger._claimed_versions():
+                if c < cutoff:
+                    d = os.path.join(self.ledger.dir, f"d{c:012d}.json")
+                    if os.path.exists(d):
+                        os.unlink(d)
         return removed
 
     def gc_changelog(self, retention_versions: int | None = None) -> list[str]:

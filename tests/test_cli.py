@@ -346,3 +346,54 @@ def test_cli_delete_where(spark, tmp_path, capsys):
     t = LakeTable(spark, table)
     assert t.scan().filter("text = 'v2'").count() == 0
     assert t.scan().count() == 1  # u2 survives
+
+
+def test_cli_branch_publish_drop(spark, tmp_path, capsys):
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    main([
+        "create-table", "--table", table,
+        "--schema", "url string, warc_ts timestamp, offset long, text string",
+        "--key", "url", "--ts", "warc_ts", "--tiebreak", "offset",
+        "--buckets", "4",
+    ])
+    capsys.readouterr()
+    t = LakeTable(spark, table)
+    src = spark.range(10).select(
+        F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias("url"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("warc_ts"),
+        F.col("id").alias("offset"),
+        F.lit("x").alias("text"),
+        F.lit("upsert").alias("op"),
+    )
+    merge_changes(t, src, batch_id="b1")
+    head = t.snapshot().version
+
+    assert main(["branch", "--table", table, "audit"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["branch"] == "audit"
+
+    # stage a batch on the branch (library path), publish via CLI
+    merge_changes(
+        t.for_branch("audit"),
+        src.withColumn("text", F.lit("staged")).withColumn(
+            "offset", F.col("offset") + 100
+        ),
+        batch_id="s1",
+    )
+    assert t.snapshot().version == head  # main untouched
+
+    assert main(["branches", "--table", table]) == 0
+    heads = json.loads(capsys.readouterr().out)
+    assert set(heads) == {"main", "audit"}
+
+    assert main(["publish", "--table", table, "audit"]) == 0
+    pub = json.loads(capsys.readouterr().out.strip())
+    assert pub["published_branch"] == "audit"
+    assert t.scan().filter("text = 'staged'").count() == 5
+
+    assert main(["branch", "--table", table, "audit", "--delete"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["dropped"] == "audit"
+    assert set(t.branches()) == {"main"}
