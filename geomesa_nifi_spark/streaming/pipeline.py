@@ -46,6 +46,54 @@ class ReplayStats:
     results: list[dict] = field(default_factory=list)
 
 
+def _wap_cycle(
+    table: LakeTable,
+    branch_name: str,
+    batch_id: str,
+    write_into,
+    wap_audit,
+    wap_keep_branches: bool,
+    attempts: int = 3,
+) -> MergeResult:
+    """One micro-batch Write-Audit-Publish cycle: stage on an isolated
+    branch, audit the full post-merge staged state, publish atomically.
+    Audit failure → drop staged work + ``audit_reject`` no-op commit
+    (route-to-failure, exactly-once).  ``PublishConflict`` (a concurrent
+    writer moved main past the fork) → drop, re-fork, re-stage, re-audit:
+    the audit must always have validated the exact state main becomes."""
+    from geomesa_nifi_spark.lake.table import PublishConflict
+
+    for _attempt in range(attempts):
+        if table.ledger.head_version(branch_name) is not None:
+            table.drop_branch(branch_name)  # prior conflicted attempt
+        staged = table.create_branch(branch_name)
+        result = write_into(staged)
+        if result.skipped:
+            # raced: another process committed this batch id meanwhile
+            table.drop_branch(branch_name)
+            return result
+        if wap_audit is not None and not wap_audit(staged, batch_id):
+            staged_v = staged.snapshot().version
+            table.drop_branch(branch_name)
+            table.record_audit_reject(
+                batch_id, reason="wap_audit", staged_version=staged_v
+            )
+            return MergeResult(
+                snapshot=None, skipped=True, metrics={"reason": "audit_reject"}
+            )
+        try:
+            table.publish_branch(branch_name)
+            if not wap_keep_branches:
+                table.drop_branch(branch_name)
+            return result
+        except PublishConflict:
+            continue
+    raise PublishConflict(
+        f"WAP batch {batch_id}: main kept moving past the fork "
+        f"({attempts} attempts); staged work left on {branch_name!r}"
+    )
+
+
 def run_file_replay(
     spark: SparkSession,
     table: LakeTable,
@@ -64,6 +112,9 @@ def run_file_replay(
     quarantine_dir: str | None = None,
     required_cols: tuple[str, ...] = ("url", "warc_ts"),
     refresh_views: list[LakeTable] | None = None,
+    wap: bool = False,
+    wap_audit=None,  # Callable[[LakeTable, str], bool] | None
+    wap_keep_branches: bool = False,
 ) -> ReplayStats:
     """Replay parquet change files through the CDC pipeline until drained.
 
@@ -86,6 +137,24 @@ def run_file_replay(
     range-based and exactly-once, so a crash between the table commit and
     the view refresh self-heals: the next batch's refresh simply covers
     both versions.
+
+    ``wap=True`` turns every micro-batch into a Write-Audit-Publish cycle
+    (the NiFi staging-store + routing flow, as lake branches): the batch is
+    staged on an isolated per-epoch branch (``wap-<batch_id>``), validated
+    by ``wap_audit(branch_handle, batch_id) -> bool`` against the FULL
+    post-merge staged state (not just the batch — the audit sees exactly
+    what main would become), then published in one atomic metadata-only
+    fast-forward.  Readers of main never observe a half-applied or
+    unaudited batch.  An audit failure drops the staged work and commits a
+    no-op ``audit_reject`` marker carrying the batch id, so a crash/restart
+    re-delivery of a rejected batch is skipped instead of re-failing
+    forever — route-to-failure, exactly-once.  Crash safety windows: before
+    publish, the stale branch is dropped and the batch re-staged on
+    re-delivery; after publish, the batch id rides the publish commit and
+    re-delivery is skipped.  The per-epoch branch is dropped after
+    publishing (``wap_keep_branches=True`` retains them); MoR/append-staged
+    change rows stay readable through ``table_changes`` either way via the
+    publish commit's ``published_commits``.
     """
     # mergeSchema: replay directories may mix files written before and after
     # an additive schema change (SURVEY §7 hard-part 3); older files are
@@ -154,11 +223,11 @@ def run_file_replay(
                     shutil.rmtree(q_dir, ignore_errors=True)
                 lineage["quarantined"] = n_bad
                 prepared = good
-        if write_mode == "append":
-            result: MergeResult = append_only(table, prepared, batch_id=batch_id, lineage=lineage)
-        else:
-            result = merge_changes(
-                table,
+        def write_into(target: LakeTable) -> MergeResult:
+            if write_mode == "append":
+                return append_only(target, prepared, batch_id=batch_id, lineage=lineage)
+            return merge_changes(
+                target,
                 prepared,
                 batch_id=batch_id,
                 compat_mode=compat_mode,
@@ -168,6 +237,31 @@ def run_file_replay(
                 mode="mor" if write_mode == "mor" else "cow",
                 post_dedup_transform=transform,
             )
+
+        if not wap:
+            result = write_into(table)
+        else:
+            branch_name = f"wap-{batch_id}"
+            # Drop stale staged work BEFORE the committed check: a batch id
+            # whose only commit sits on a crashed attempt's branch counts in
+            # the ledger-global id walk, and skipping on it would lose the
+            # batch (staged ≠ published).  Dropping first makes a
+            # staged-only id re-ingestable; a post-publish crash is still a
+            # skip because published ids ride the publish commit itself.
+            if table.ledger.head_version(branch_name) is not None:
+                table.drop_branch(branch_name)
+            if batch_id in table.committed_batch_ids():
+                # re-delivery of a batch that already published (or was
+                # audit-rejected): skip without touching any branch
+                result = MergeResult(
+                    snapshot=None, skipped=True,
+                    metrics={"reason": "batch_committed"},
+                )
+            else:
+                result = _wap_cycle(
+                    table, branch_name, batch_id, write_into, wap_audit,
+                    wap_keep_branches,
+                )
         for view in refresh_views or []:
             from geomesa_nifi_spark.lake.materialize import refresh
 
