@@ -858,6 +858,52 @@ def _rollback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_state(table)
 
 
+def _wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (lake/table.py branches): half the stream lands
+    on main, the other half is staged on an isolated ``audit`` branch with
+    the ordinary merge writers, audited, then published — ONE atomic
+    metadata-only fast-forward of main.  Asserted along the way: staged
+    rows are invisible to main until publish, the publish commit is
+    metadata-only (re-references the branch's files, no data rewrite), and
+    a staged batch replayed on main after publish is skipped (exactly-once
+    crosses the publish).  Final state must equal the full-stream LWW
+    oracle — the same end state every other replay shape converges to."""
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    ch = _changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gns_entry_wap_") + "/pages"
+    table = LakeTable.create(
+        spark, root, _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset", num_buckets=16,
+    )
+    for b in (0, 1):
+        merge_changes(
+            table, ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"wap-{b}", mode="mor",
+        )
+    main_head = table.snapshot().version
+    audit = table.create_branch("audit")
+    for b in (3, 2):
+        merge_changes(
+            audit, ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"wap-{b}", mode="mor",
+        )
+    # isolation: the staged commits did not move main
+    assert table.snapshot().version == main_head
+    pub = table.publish_branch("audit")
+    # metadata-only fast-forward: publish re-references the branch head's
+    # files verbatim — zero data files written by the publish itself
+    assert {f.path for f in pub.files} == {f.path for f in audit.snapshot().files}
+    # exactly-once across the publish: a staged batch re-delivered to main
+    # under its original id must be skipped
+    r = merge_changes(
+        table, ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == 2),
+        batch_id="wap-2", mode="mor",
+    )
+    assert r.skipped and r.metrics.get("reason") == "batch_committed"
+    return _final_state(table)
+
+
 _ROLLBACK_SQL = f"""
 WITH ch AS ({_CHANGES_SQL_CTE}),
 half AS (SELECT * FROM ch WHERE src_offset % 4 IN (0, 1)),
@@ -1640,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_ingest": _debezium_ingest,
         "cdc_delete_where": _delete_where_q,
         "cdc_rollback": _rollback_q,
+        "cdc_wap_publish": _wap_publish_q,
         "cdc_changelog": _changelog_read,
         "cdc_changes_kafka": _changes_kafka_roundtrip,
         "cdc_visibility": _visibility_filter,
@@ -1692,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_ingest": _LWW_STATE_SQL,
         "cdc_delete_where": _DELETE_WHERE_SQL,
         "cdc_rollback": _ROLLBACK_SQL,
+        "cdc_wap_publish": _LWW_STATE_SQL,
         "cdc_changelog": _CHANGELOG_SQL,
         "cdc_changes_kafka": _CHANGELOG_SQL,
         "cdc_visibility": _VISIBILITY_SQL,
