@@ -376,7 +376,9 @@ class LakeTable:
             bid = s.summary.get("batch_id")
             if bid is not None:
                 staged_ids.append(str(bid))
-            staged_ids.extend(s.summary.get("published_batch_ids") or [])
+            # appended newest-first (the final reverse() restores oldest-
+            # first), so a nested publish's oldest-first list is reversed
+            staged_ids.extend(reversed(s.summary.get("published_batch_ids") or []))
             if s.parent_version is None:
                 break
             try:
@@ -384,15 +386,38 @@ class LakeTable:
             except FileNotFoundError:
                 parent = None
             if parent is not None:
-                pp = {f.path for f in parent.files}
-                published_commits.append({
-                    "version": s.version,
-                    "operation": s.summary.get("operation"),
-                    "batch_id": bid if bid is None else str(bid),
-                    "added_files": [
-                        f.path for f in s.files if f.path not in pp
-                    ],
-                })
+                if s.summary.get("operation") == "publish":
+                    # A nested publish's own file diff is whatever its
+                    # source branch staged — which may be CoW-rewritten
+                    # full buckets that MUST NOT be read back as change
+                    # rows.  Splice in ITS published_commits (flattened
+                    # MoR/append entries, recorded while the inner branch
+                    # was alive) instead of a raw path diff; a publish
+                    # without that summary is unreconstructible — record
+                    # added_files=None so the changelog fallback stays
+                    # loud rather than wrong.
+                    inner = s.summary.get("published_commits")
+                    if inner:
+                        # we append newest-first and reverse at the end;
+                        # inner lists are stored oldest-first
+                        published_commits.extend(reversed(inner))
+                    else:
+                        published_commits.append({
+                            "version": s.version,
+                            "operation": "publish",
+                            "batch_id": None,
+                            "added_files": None,
+                        })
+                else:
+                    pp = {f.path for f in parent.files}
+                    published_commits.append({
+                        "version": s.version,
+                        "operation": s.summary.get("operation"),
+                        "batch_id": bid if bid is None else str(bid),
+                        "added_files": [
+                            f.path for f in s.files if f.path not in pp
+                        ],
+                    })
                 s = parent
             else:  # expired interior snapshot: diff unknowable
                 published_commits.append({

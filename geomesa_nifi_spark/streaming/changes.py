@@ -89,7 +89,11 @@ def _published_commits_fallback(
         if op in _ROW_PRESERVING_OPS:
             continue
         added = e.get("added_files")
-        if op not in ("merge_mor", "append", "publish") or added is None:
+        # nested publishes are spliced into flattened merge_mor/append
+        # entries at publish time (table.py publish_branch); a raw
+        # "publish" entry or a None diff is unreconstructible — loud, not
+        # wrong (a CoW-staged diff would be rewritten buckets, not changes)
+        if op not in ("merge_mor", "append") or added is None:
             return None
         if not added:
             continue

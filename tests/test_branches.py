@@ -206,6 +206,56 @@ def test_table_changes_across_publish(spark):
             table_changes(t, from_version=pub3.version - 1).count()
 
 
+def test_table_changes_across_nested_publish(spark):
+    """A publish whose staged chain contains ANOTHER publish (a sub-branch
+    published into the audit branch, then the audit branch into main).
+    The outer publish must splice the inner publish's published_commits —
+    flattened MoR/append delta entries — not the inner publish's raw file
+    diff: for a CoW-staged inner branch that diff is rewritten FULL
+    buckets, and reading it back as change rows would be silently wrong.
+    Pinned: MoR-nested reconstructs exactly after both branches are
+    dropped; CoW-nested refuses loudly instead of fabricating rows."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = _mk(spark, tmp)
+        fork_v = t.snapshot().version
+        outer = t.create_branch("outer")
+        inner = outer.create_branch("inner")
+        merge_changes(inner, _src(spark, 200, 240), batch_id="i1", mode="mor")
+        merge_changes(inner, _src(spark, 240, 260), batch_id="i2", mode="mor")
+        outer.publish_branch("inner")
+        outer.drop_branch("inner")
+        pub = t.publish_branch("outer")
+        t.drop_branch("outer")
+
+        assert pub.summary["published_batch_ids"] == ["i1", "i2"]
+        # the spliced entries are the inner MoR commits, never a raw
+        # "publish" diff
+        ops = [e["operation"] for e in pub.summary["published_commits"]]
+        assert "publish" not in ops and ops.count("merge_mor") == 2
+        ch = table_changes(t, from_version=fork_v).collect()
+        assert {r._batch_id for r in ch} == {"i1", "i2"}
+        assert {r._commit_version for r in ch} == {pub.version}
+        assert {r.seq for r in ch if r._change_type == "insert_or_update"} == {
+            i for i in range(200, 260) if i % 9 != 0
+        }
+
+        # exactly-once crosses BOTH publishes and both drops
+        fresh = LakeTable(spark, t.root)
+        r = merge_changes(fresh, _src(spark, 200, 240), batch_id="i1")
+        assert r.skipped and r.metrics["reason"] == "batch_committed"
+
+        # CoW-staged inner branch: unreconstructible once dropped -> loud
+        outer2 = t.create_branch("outer2")
+        inner2 = outer2.create_branch("inner2")
+        merge_changes(inner2, _src(spark, 400, 420), batch_id="c1")  # CoW
+        outer2.publish_branch("inner2")
+        outer2.drop_branch("inner2")
+        pub2 = t.publish_branch("outer2")
+        t.drop_branch("outer2")
+        with pytest.raises(ChangelogRetentionError):
+            table_changes(t, from_version=pub2.version - 1).count()
+
+
 def test_table_changes_refuses_rollback_in_range(spark):
     with tempfile.TemporaryDirectory() as tmp:
         t = _mk(spark, tmp)
