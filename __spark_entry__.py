@@ -266,6 +266,55 @@ def _merge_replay_rescaled_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_state(table)
 
 
+def _bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot bootstrap + incremental tail (lake/bootstrap.py) —
+    the Debezium snapshot-then-stream shape over the reference's
+    bulk-append-then-modify operational pattern
+    (mixins/FeatureWriters.scala:306-318).
+
+    Cut the change stream at the median position C: the source's state at
+    C (the LWW of events with src_offset < C, tombstones preserved) is
+    bulk-loaded as sorted base files in ONE commit recording offset_hwm =
+    C-1; the tail then redelivers an overlapping slice — including pre-cut
+    upserts WITHOUT their pre-cut deletes, the resurrection hazard —
+    which handoff_filter drops by position before normal MoR merges apply
+    the rest.  Final state must equal the LWW of the FULL stream (the
+    identical oracle CTE as cdc_merge_replay)."""
+    from geomesa_nifi_spark.lake import (
+        LakeTable, bootstrap_load, handoff_filter, merge_changes,
+    )
+    from geomesa_nifi_spark.operators.dedup import lww_dedup
+
+    ch = _changes(spark, sf_dir)
+    cut = (ch.agg(F.max("src_offset").alias("m")).first()["m"] + 1) // 2
+    pre = ch.filter(F.col("src_offset") < cut)
+    post = ch.filter(F.col("src_offset") >= cut)
+
+    root = tempfile.mkdtemp(prefix="gns_entry_") + "/pages"
+    table = LakeTable.create(
+        spark, root, _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset",
+        num_buckets=16,
+    )
+    snap = lww_dedup(pre, "url", ["warc_ts", "src_offset"])
+    bootstrap_load(table, snap, batch_id="entry-boot",
+                   offset_hwm=cut - 1, op_col="op")
+    # tail with overlap: the last quarter of the pre-cut stream comes back,
+    # but ONLY its upserts (dropped deletes = the resurrect hazard the
+    # position filter closes)
+    overlap = pre.filter(
+        (F.col("src_offset") >= cut // 2) & (F.col("op") != "delete")
+    )
+    tail = handoff_filter(table, post.unionByName(overlap), "src_offset")
+    for b in (0, 1):
+        merge_changes(
+            table,
+            tail.filter(F.pmod(F.col("src_offset"), F.lit(2)) == b),
+            batch_id=f"entry-boot-tail-{b}", mode="mor",
+        )
+    return _final_state(table)
+
+
 def _incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized aggregate (``lake/materialize.py``) — the
     downstream CDC consumer the reference leaves unspecified past its
@@ -1670,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay_mor": _merge_replay_mor,
         "cdc_merge_replay_rescaled": _merge_replay_rescaled,
         "cdc_merge_replay_rescaled_lazy": _merge_replay_rescaled_lazy,
+        "cdc_bootstrap_handoff": _bootstrap_handoff,
         "cdc_incremental_mv": _incremental_mv,
         "cdc_fid_rewrite": _fid_rewrite,
         "cdc_schema_evolution": _schema_evolution_replay,
@@ -1723,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_replay_mor": _LWW_STATE_SQL,
         "cdc_merge_replay_rescaled": _LWW_STATE_SQL,
         "cdc_merge_replay_rescaled_lazy": _LWW_STATE_SQL,
+        "cdc_bootstrap_handoff": _LWW_STATE_SQL,
         "cdc_incremental_mv": _INCREMENTAL_MV_SQL,
         "cdc_fid_rewrite": _FID_REWRITE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,

@@ -26,6 +26,11 @@ from geomesa_nifi_spark.lake.index import (  # noqa: F401
     last_indexed_version,
     refresh_attr_index,
 )
+from geomesa_nifi_spark.lake.bootstrap import (  # noqa: F401
+    bootstrap_hwm,
+    bootstrap_load,
+    handoff_filter,
+)
 from geomesa_nifi_spark.lake.merge import (  # noqa: F401
     MergeResult,
     append_only,
