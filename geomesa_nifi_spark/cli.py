@@ -33,6 +33,9 @@ Commands:
                   unreferenced data files
   show          — table state summary (version, schema, per-bucket stats)
   scan          — predicate scan (zone-map pruned) printed as JSON lines
+  inspect       — metadata tables (files / snapshots / partitions) as JSON
+  bootstrap     — bulk-load a source snapshot into an empty table with a
+                  recorded stream position (snapshot-then-tail handoff)
 """
 
 from __future__ import annotations
@@ -361,6 +364,44 @@ def _cmd_scan(args) -> int:
     return 0
 
 
+def _cmd_inspect(args) -> int:
+    from geomesa_nifi_spark.lake import (
+        LakeTable, files_df, partitions_df, snapshots_df,
+    )
+
+    spark = _spark("gns-inspect")
+    table = LakeTable(spark, args.table)
+    df = {
+        "files": lambda: files_df(table, version=args.version),
+        "snapshots": lambda: snapshots_df(table, all_branches=args.all_branches),
+        "partitions": lambda: partitions_df(table, version=args.version),
+    }[args.what]()
+    for row in df.limit(args.limit).toJSON().collect():
+        print(row)
+    return 0
+
+
+def _cmd_bootstrap(args) -> int:
+    from geomesa_nifi_spark.lake import LakeTable, bootstrap_load
+
+    spark = _spark("gns-bootstrap")
+    table = LakeTable(spark, args.table)
+    src = spark.read.parquet(args.source)
+    res = bootstrap_load(
+        table,
+        src,
+        batch_id=args.batch_id,
+        offset_hwm=args.offset_hwm,
+        op_col=args.op_col,
+    )
+    print(json.dumps({
+        "skipped": res.skipped,
+        "version": res.snapshot.version if res.snapshot else None,
+        **res.metrics,
+    }))
+    return 0
+
+
 def _cmd_show(args) -> int:
     from geomesa_nifi_spark.lake import LakeTable
 
@@ -660,6 +701,30 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--explain-pruning", action="store_true",
                    help="print files_total vs files_after_pruning to stderr")
     q.set_defaults(fn=_cmd_scan)
+
+    ins = sub.add_parser(
+        "inspect", help="metadata tables (files/snapshots/partitions) as JSON lines"
+    )
+    ins.add_argument("what", choices=["files", "snapshots", "partitions"])
+    ins.add_argument("--table", required=True)
+    ins.add_argument("--version", type=int, default=None)
+    ins.add_argument("--all-branches", action="store_true")
+    ins.add_argument("--limit", type=int, default=1000)
+    ins.set_defaults(fn=_cmd_inspect)
+
+    bs = sub.add_parser(
+        "bootstrap",
+        help="bulk-load a source snapshot into an empty table, recording the "
+             "stream position for the incremental tail's handoff filter",
+    )
+    bs.add_argument("--table", required=True)
+    bs.add_argument("--source", required=True, help="parquet path of the snapshot")
+    bs.add_argument("--batch-id", default="bootstrap")
+    bs.add_argument("--offset-hwm", type=int, default=None,
+                    help="greatest change-stream position the snapshot reflects")
+    bs.add_argument("--op-col", default=None,
+                    help="op column naming delete rows (tombstone-preserving snapshots)")
+    bs.set_defaults(fn=_cmd_bootstrap)
     return p
 
 

@@ -31,6 +31,11 @@ from geomesa_nifi_spark.lake.bootstrap import (  # noqa: F401
     bootstrap_load,
     handoff_filter,
 )
+from geomesa_nifi_spark.lake.inspect import (  # noqa: F401
+    files_df,
+    partitions_df,
+    snapshots_df,
+)
 from geomesa_nifi_spark.lake.merge import (  # noqa: F401
     MergeResult,
     append_only,

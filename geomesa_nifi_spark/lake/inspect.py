@@ -1,0 +1,144 @@
+"""Metadata inspection tables — the lake's ops surface as DataFrames.
+
+Iceberg exposes ``table.files`` / ``table.snapshots`` / ``table.partitions``
+metadata tables; the reference exposes per-processor provenance counters in
+the NiFi UI (``DataStoreIngestProcessor.scala`` success/failure attributes).
+This module is the engine's equivalent: ledger metadata surfaced as small
+DataFrames so operators can watch a 100-TB table without touching data
+files — skew (hot buckets), compaction debt (delta counts), rescale debt
+(old-modulus files), snapshot cadence, zone-map coverage.
+
+Everything here is built driver-side from the ledger (snapshot headers +
+per-bucket manifests) and handed to ``spark.createDataFrame``: commit
+metadata is O(touched buckets) per commit by design, so even very large
+tables hold metadata orders of magnitude smaller than data.  No data file
+is opened.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from geomesa_nifi_spark.lake.table import LakeTable
+
+__all__ = ["files_df", "snapshots_df", "partitions_df"]
+
+_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("modulus", T.IntegerType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("stats_json", T.StringType()),
+    ]
+)
+
+_SNAPSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.LongType()),
+        T.StructField("parent_version", T.LongType()),
+        T.StructField("branch", T.StringType()),
+        T.StructField("committed_at_ms", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("batch_id", T.StringType()),
+        T.StructField("num_files", T.LongType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("summary_json", T.StringType()),
+    ]
+)
+
+_PARTITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("num_files", T.LongType()),
+        T.StructField("base_files", T.LongType()),
+        T.StructField("delta_files", T.LongType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("old_modulus_files", T.LongType()),
+    ]
+)
+
+
+def files_df(
+    table: LakeTable, version: int | str | None = None, with_sizes: bool = True
+) -> DataFrame:
+    """One row per live data file at ``version`` (default: head).
+
+    ``size_bytes`` comes from a filesystem stat per file (cheap local
+    metadata; pass ``with_sizes=False`` to skip it on remote stores where
+    a stat is a round trip).  ``stats_json`` is the ledger zone map,
+    verbatim."""
+    snap = table.snapshot(version)
+    rows = []
+    for f in snap.files:
+        size = None
+        if with_sizes:
+            try:
+                size = os.path.getsize(os.path.join(table.root, f.path))
+            except OSError:
+                size = None
+        rows.append(
+            (
+                f.path,
+                f.bucket,
+                f.kind,
+                f.rows,
+                f.modulus,
+                size,
+                json.dumps(f.stats, sort_keys=True) if f.stats else None,
+            )
+        )
+    return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+
+
+def snapshots_df(table: LakeTable, all_branches: bool = False) -> DataFrame:
+    """One row per committed snapshot on the table's branch (or every
+    branch).  ``num_files``/``total_rows`` open the snapshot's manifests;
+    the walk is O(history) metadata IO, same as ``table.history()``."""
+    rows = []
+    for s in table.history(all_branches=all_branches):
+        rows.append(
+            (
+                s.version,
+                s.parent_version,
+                s.branch,
+                s.created_ms,
+                s.summary.get("operation"),
+                s.summary.get("batch_id"),
+                len(s.files),
+                sum(f.rows for f in s.files),
+                json.dumps(s.summary, sort_keys=True, default=str),
+            )
+        )
+    return table.spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
+
+
+def partitions_df(table: LakeTable, version: int | str | None = None) -> DataFrame:
+    """Per-bucket health at ``version``: file/row counts, base vs delta
+    split (compaction debt), bytes, and old-modulus file counts (lazy-
+    rescale migration debt).  This is the skew dashboard: a hot domain
+    shows up as one bucket's rows/bytes far above the median."""
+    snap = table.snapshot(version)
+    agg: dict[int, list[int]] = {}
+    for f in snap.files:
+        a = agg.setdefault(f.bucket, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if f.kind == "base" else 0
+        a[2] += 1 if f.kind == "delta" else 0
+        a[3] += f.rows
+        try:
+            a[4] += os.path.getsize(os.path.join(table.root, f.path))
+        except OSError:
+            pass
+        a[5] += 1 if f.modulus is not None else 0
+    rows = [
+        (b, v[0], v[1], v[2], v[3], v[4], v[5]) for b, v in sorted(agg.items())
+    ]
+    return table.spark.createDataFrame(rows, _PARTITIONS_SCHEMA)

@@ -625,6 +625,7 @@ class LakeTable:
         snapshot: Snapshot | None = None,
         include_tombstones: bool = False,
         where: list[tuple] | None = None,
+        read_optimized: bool = False,
     ) -> DataFrame:
         """Read the table state, optionally pruned to a set of buckets
         and/or by a predicate conjunction.
@@ -654,11 +655,20 @@ class LakeTable:
         path produced the files.  With a ``where`` predicate, delta-holding
         buckets are pruned all-or-nothing so cross-file LWW resolution
         stays correct (stats.py module docstring).
+
+        ``read_optimized=True`` reads BASE files only (Hudi's
+        read-optimized view of a merge-on-read table): deltas not yet
+        compacted are invisible, so the result is the state as of the
+        last compaction of each bucket — stale but cheap, no LWW
+        resolution pass at all.  Exactness per bucket returns as soon as
+        compaction folds it.
         """
         snap = snapshot or self.snapshot(version)
         files = self.candidate_files(
             where=where, buckets=buckets, snapshot=snap
         )
+        if read_optimized:
+            files = [f for f in files if f.kind != "delta"]
         df = self._read_files(snap, files)
         nb = int(snap.properties["num_buckets"])
         if buckets is not None and any(
