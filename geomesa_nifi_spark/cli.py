@@ -366,7 +366,7 @@ def _cmd_scan(args) -> int:
 
 def _cmd_inspect(args) -> int:
     from geomesa_nifi_spark.lake import (
-        LakeTable, files_df, partitions_df, snapshots_df,
+        LakeTable, files_df, orphans_df, partitions_df, snapshots_df,
     )
 
     spark = _spark("gns-inspect")
@@ -375,6 +375,7 @@ def _cmd_inspect(args) -> int:
         "files": lambda: files_df(table, version=args.version),
         "snapshots": lambda: snapshots_df(table, all_branches=args.all_branches),
         "partitions": lambda: partitions_df(table, version=args.version),
+        "orphans": lambda: orphans_df(table),
     }[args.what]()
     for row in df.limit(args.limit).toJSON().collect():
         print(row)
@@ -705,7 +706,7 @@ def build_parser() -> argparse.ArgumentParser:
     ins = sub.add_parser(
         "inspect", help="metadata tables (files/snapshots/partitions) as JSON lines"
     )
-    ins.add_argument("what", choices=["files", "snapshots", "partitions"])
+    ins.add_argument("what", choices=["files", "snapshots", "partitions", "orphans"])
     ins.add_argument("--table", required=True)
     ins.add_argument("--version", type=int, default=None)
     ins.add_argument("--all-branches", action="store_true")

@@ -33,6 +33,7 @@ from geomesa_nifi_spark.lake.bootstrap import (  # noqa: F401
 )
 from geomesa_nifi_spark.lake.inspect import (  # noqa: F401
     files_df,
+    orphans_df,
     partitions_df,
     snapshots_df,
 )

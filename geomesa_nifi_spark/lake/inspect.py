@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from geomesa_nifi_spark.lake.table import LakeTable
 
-__all__ = ["files_df", "snapshots_df", "partitions_df"]
+__all__ = ["files_df", "snapshots_df", "partitions_df", "orphans_df"]
 
 _FILES_SCHEMA = T.StructType(
     [
@@ -142,3 +142,38 @@ def partitions_df(table: LakeTable, version: int | str | None = None) -> DataFra
         (b, v[0], v[1], v[2], v[3], v[4], v[5]) for b, v in sorted(agg.items())
     ]
     return table.spark.createDataFrame(rows, _PARTITIONS_SCHEMA)
+
+
+_ORPHANS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("modified_ms", T.LongType()),
+    ]
+)
+
+
+def orphans_df(table: LakeTable) -> DataFrame:
+    """Data files on disk referenced by NO live snapshot (any branch) —
+    a read-only dry run of what ``vacuum()`` would delete.  Orphans come
+    from failed write attempts, lost commit races, and expired snapshots;
+    at 100 TB an operator wants their volume visible (and billed storage
+    explained) before running the deleting pass."""
+    referenced: set[str] = set()
+    for snap in table.ledger.snapshots():
+        for f in snap.files:
+            referenced.add(os.path.normpath(f.path))
+        for cf in snap.summary.get("changelog_files") or []:
+            referenced.add(os.path.normpath(cf["path"]))
+    rows = []
+    data_root = os.path.join(table.root, "data")
+    for dirpath, _d, filenames in os.walk(data_root):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, name)
+            rel = os.path.normpath(os.path.relpath(full, table.root))
+            if rel not in referenced:
+                st = os.stat(full)
+                rows.append((rel, st.st_size, int(st.st_mtime * 1000)))
+    return table.spark.createDataFrame(rows, _ORPHANS_SCHEMA)

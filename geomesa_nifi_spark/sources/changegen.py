@@ -172,20 +172,31 @@ def write_replay_files(
 ) -> list[str]:
     """Materialize the stream as ``n_files`` offset-contiguous parquet files
     (``chunk-00000.parquet`` ...), the replay unit for file-source streaming
-    and for batch benchmarks.  Chunk k holds offsets [k*size, (k+1)*size)."""
+    and for batch benchmarks.  Chunk k holds the k-th offset range of equal
+    width, measured from the stream's own min/max — so a TAIL stream (a
+    slice whose offsets neither start at 0 nor are dense, e.g. the post-
+    bootstrap half plus an overlap window) chunks correctly too.  Every
+    staged chunk is moved, never skipped: a chunk landing outside
+    ``range(n_files)`` would silently drop data."""
     import os
 
-    rows = df.count()
-    size = (rows + n_files - 1) // n_files
-    chunk = (F.col("offset") / F.lit(size)).cast("int")
+    lo, hi, rows = df.agg(
+        F.min("offset"), F.max("offset"), F.count(F.lit(1))
+    ).first()
+    if rows == 0:
+        os.makedirs(out_dir, exist_ok=True)
+        return []
+    size = max(1, (int(hi) - int(lo) + n_files) // n_files)
+    chunk = ((F.col("offset") - F.lit(int(lo))) / F.lit(size)).cast("int")
     staged = df.withColumn("_chunk", chunk).repartition(F.col("_chunk"))
     staged.write.partitionBy("_chunk").mode("overwrite").parquet(out_dir + ".staging")
     paths = []
     os.makedirs(out_dir, exist_ok=True)
-    for k in range(n_files):
-        src_dir = os.path.join(out_dir + ".staging", f"_chunk={k}")
-        if not os.path.isdir(src_dir):
-            continue
+    chunk_dirs = sorted(
+        d for d in os.listdir(out_dir + ".staging") if d.startswith("_chunk=")
+    )
+    for k, name in enumerate(sorted(chunk_dirs, key=lambda d: int(d.split("=")[1]))):
+        src_dir = os.path.join(out_dir + ".staging", name)
         parts = sorted(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
         assert len(parts) == 1, f"expected one file per chunk, got {parts}"
         dst = os.path.join(out_dir, f"chunk-{k:05d}.parquet")

@@ -115,6 +115,7 @@ def run_file_replay(
     wap: bool = False,
     wap_audit=None,  # Callable[[LakeTable, str], bool] | None
     wap_keep_branches: bool = False,
+    handoff_offset_col: str | None = None,
 ) -> ReplayStats:
     """Replay parquet change files through the CDC pipeline until drained.
 
@@ -155,7 +156,22 @@ def run_file_replay(
     publishing (``wap_keep_branches=True`` retains them); MoR/append-staged
     change rows stay readable through ``table_changes`` either way via the
     publish commit's ``published_commits``.
+
+    ``handoff_offset_col``: when the table was loaded by
+    ``bootstrap_load`` (snapshot-then-tail, ``lake/bootstrap.py``), name
+    the change stream's position column and every micro-batch drops
+    events at or below the recorded bootstrap high-water mark — a pure
+    codegen literal filter, read from the ledger once (the bootstrap
+    commit is immutable).  This is what makes pointing the tail at a
+    stream that overlaps the snapshot safe, including the resurrection
+    hazard of redelivered pre-snapshot upserts whose deletes are not
+    redelivered.
     """
+    hwm = None
+    if handoff_offset_col is not None:
+        from geomesa_nifi_spark.lake.bootstrap import bootstrap_hwm
+
+        hwm = bootstrap_hwm(table)
     # mergeSchema: replay directories may mix files written before and after
     # an additive schema change (SURVEY §7 hard-part 3); older files are
     # null-padded for the new columns and the table evolves via compat_mode.
@@ -177,6 +193,8 @@ def run_file_replay(
         if fail_after_batches is not None and stats.batches >= fail_after_batches:
             raise _InjectedFailure(f"injected crash before epoch {epoch_id}")
         batch_id = f"{pipeline_id}-{epoch_id}"
+        if hwm is not None:
+            batch = batch.filter(F.col(handoff_offset_col) > F.lit(hwm))
         offset_ranges = partition_offset_ranges(batch)
         post_dedup = extract and extract_stage == "post_dedup" and write_mode != "append"
         prepared = extract_pages(batch) if (extract and not post_dedup) else batch

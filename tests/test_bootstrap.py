@@ -175,3 +175,42 @@ def test_bootstrap_writes_base_files_with_zone_maps(spark, table):
 def test_handoff_filter_noop_without_bootstrap(spark, table):
     ch = _df(spark, [ev("a", 0, 0, "a")])
     assert handoff_filter(table, ch, "offset").count() == 1
+
+
+def test_streaming_tail_with_handoff(spark, tmp_path):
+    """bootstrap_load + run_file_replay(handoff_offset_col=...): the
+    checkpointed tail drops already-reflected events per micro-batch."""
+    from geomesa_nifi_spark.operators.dedup import lww_dedup
+    from geomesa_nifi_spark.sources.changegen import change_stream, write_replay_files
+    from geomesa_nifi_spark.streaming.pipeline import run_file_replay
+
+    events = change_stream(spark, 400, n_keys=80, seed=7)
+    cut = (events.agg(F.max("offset")).first()[0] + 1) // 2
+    pre = events.filter(F.col("offset") < cut)
+    # overlap slice redelivers pre-cut upserts WITHOUT their deletes
+    overlap = pre.filter((F.col("offset") >= cut // 2) & (F.col("op") != "delete"))
+    tail = events.filter(F.col("offset") >= cut).unionByName(overlap)
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "pages"), events.drop("op").schema,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=8,
+    )
+    snap = lww_dedup(pre, "url", ["warc_ts", "offset"])
+    bootstrap_load(t, snap, batch_id="boot", offset_hwm=cut - 1, op_col="op")
+
+    # a tail stream's offsets neither start at 0 nor are dense — the
+    # min/max-based chunking must not drop any of it
+    d = str(tmp_path / "tail")
+    files = write_replay_files(tail, d, n_files=4)
+    assert sum(spark.read.parquet(f).count() for f in files) == tail.count()
+    run_file_replay(
+        spark, t, d, str(tmp_path / "ckpt"), pipeline_id="tail",
+        extract=False, handoff_offset_col="offset",
+    )
+    want = (
+        lww_dedup(events, "url", ["warc_ts", "offset"])
+        .filter(F.col("op") != "delete")
+    )
+    got = t.scan()
+    assert got.count() == want.count()
+    assert got.select("url", "offset").exceptAll(want.select("url", "offset")).count() == 0

@@ -130,3 +130,19 @@ def test_cli_inspect_and_bootstrap(spark, tmp_path, capsys):
     assert main(["inspect", "partitions", "--table", root]) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert sum(p["rows"] for p in lines) == 8
+
+
+def test_orphans_df_dry_run_matches_vacuum(spark, table):
+    from geomesa_nifi_spark.lake import orphans_df
+
+    # fresh table: compaction hasn't run, every file is referenced by SOME
+    # live snapshot
+    merge_changes(table, _df(spark, [ev(f"u{i}", 200 + i, f"c{i}") for i in range(5)]),
+                  batch_id="b2", mode="cow")
+    table.expire_snapshots(keep_last=1)
+    orphans = orphans_df(table).collect()
+    assert orphans, "expired snapshots should leave unreferenced files"
+    assert all(o["size_bytes"] > 0 and o["modified_ms"] > 0 for o in orphans)
+    removed = set(table.vacuum())
+    assert {o["path"] for o in orphans} <= removed
+    assert orphans_df(table).count() == 0
