@@ -214,3 +214,50 @@ def test_streaming_tail_with_handoff(spark, tmp_path):
     got = t.scan()
     assert got.count() == want.count()
     assert got.select("url", "offset").exceptAll(want.select("url", "offset")).count() == 0
+
+
+def test_bootstrap_commit_race_rebases(spark, table):
+    """Losing the commit race to a metadata commit (here: a rescale of the
+    still-empty table) must re-bucket under the new modulus and succeed
+    without rewriting the caller's view of the world."""
+    from geomesa_nifi_spark.lake.ledger import CommitConflict
+
+    real_commit = table.ledger.commit
+    calls = {"n": 0}
+
+    def racing_commit(snapshot):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            table.ledger.commit = real_commit  # restore before the rescale
+            table.rescale(16)                  # concurrent metadata commit
+            table.ledger.commit = racing_commit
+            raise CommitConflict("lost to rescale")
+        table.ledger.commit = real_commit
+        return real_commit(snapshot)
+
+    table.ledger.commit = racing_commit
+    rows = [ev(f"u{i}", i, i, f"t{i}") for i in range(12)]
+    res = bootstrap_load(table, _df(spark, rows), batch_id="boot", offset_hwm=11)
+    assert res.snapshot is not None
+    snap = table.snapshot()
+    assert int(snap.properties["num_buckets"]) == 16
+    # every file's bucket label is valid under the NEW modulus
+    assert all(0 <= f.bucket < 16 for f in snap.files)
+    assert _state(table) == {f"u{i}": f"t{i}" for i in range(12)}
+
+
+def test_bootstrap_race_to_data_commit_raises(spark, table):
+    """Losing the race to a DATA commit means the table is no longer empty:
+    bootstrap must refuse loudly, not merge blindly."""
+    from geomesa_nifi_spark.lake.ledger import CommitConflict
+
+    real_commit = table.ledger.commit
+
+    def racing_commit(snapshot):
+        table.ledger.commit = real_commit
+        merge_changes(table, _df(spark, [ev("other", 99, 99, "o")]), batch_id="racer")
+        raise CommitConflict("lost to a merge")
+
+    table.ledger.commit = racing_commit
+    with pytest.raises(ValueError, match="no longer empty"):
+        bootstrap_load(table, _df(spark, [ev("a", 0, 0, "a")]), batch_id="boot")
