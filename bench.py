@@ -370,6 +370,31 @@ def main() -> None:
     t_cow = run_cow_replay(spark, text_changes, os.path.join(work, "t-cow"), n_batches=4)
     queries["cdc_merge_replay_cow"] = round(t_cow, 3)
 
+    # initial-snapshot bulk load (lake/bootstrap.py): the snapshot-then-tail
+    # handoff's O(snapshot) phase — LWW the source dump, one bucket shuffle,
+    # sorted base files, one commit.  The yardstick for "how fast can a new
+    # table come up before the tail starts".
+    from geomesa_nifi_spark.lake import bootstrap_load as _bootstrap_load
+    from geomesa_nifi_spark.operators.dedup import lww_dedup as _lww_dedup
+
+    boot_table = _new_table(spark, os.path.join(work, "t-boot"))
+    boot_src = _lww_dedup(
+        spark.read.parquet(text_changes), "url", ["warc_ts", "offset"]
+    )
+    t0 = time.monotonic()
+    boot_res = _bootstrap_load(
+        boot_table, boot_src, batch_id="bench-boot",
+        offset_hwm=n_events - 1, op_col="op",
+    )
+    t_boot = time.monotonic() - t0
+    queries["cdc_bootstrap_load"] = round(t_boot, 3)
+    bootstrap_bench = {
+        "n_source_events": n_events,
+        "rows_loaded": boot_res.metrics["bootstrapped"],
+        "source_events_per_sec": round(n_events / t_boot, 1),
+        "parallelism": cpus,
+    }
+
     # incremental MV maintenance (lake/materialize.py): the derived-table
     # refresh after one CDC batch must cost like the batch, not the table —
     # measured against the from-scratch rebuild on the same populated table
@@ -572,6 +597,7 @@ def main() -> None:
             "parallelism": cpus,
         },
         "kafka_avro": kafka_avro,
+        "bootstrap": bootstrap_bench,
         "materialized_view": mv_bench,
         "attr_index": aidx_bench,
         "scaling": scaling,
