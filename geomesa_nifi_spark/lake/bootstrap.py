@@ -58,6 +58,8 @@ def bootstrap_load(
     op_col: str | None = None,
     lineage: dict | None = None,
     max_records_per_file: int = 2_000_000,
+    cluster_by: list[str] | None = None,
+    cluster_bits: int | None = None,
 ) -> MergeResult:
     """Bulk-load a consistent source snapshot into an EMPTY table.
 
@@ -75,6 +77,13 @@ def bootstrap_load(
 
     Exactly-once: a ``batch_id`` already in the ledger short-circuits to
     ``skipped=True``, same as :func:`merge_changes`.
+
+    ``cluster_by``: order rows within each bucket by these columns
+    (one: linear sort; several: Z-order, ``lake/cluster.py``) instead of
+    the key — the initial load is the one free chance to lay the whole
+    table out for attribute-predicate pruning, since every row is being
+    written anyway (afterwards it costs a ``compact(cluster_by=...)``
+    rewrite).
     """
     base = table.snapshot()
     if str(batch_id) in table.committed_batch_ids():
@@ -115,10 +124,20 @@ def bootstrap_load(
     )
     nb = int(base.properties["num_buckets"])
     out = out.withColumn(BUCKET_COL, table.bucket_expr(num_buckets=nb))
-    new_files = table.write_files(out, base.version + 1, max_records_per_file)
+    sort_exprs = None
+    if cluster_by:
+        from geomesa_nifi_spark.lake.cluster import DEFAULT_BITS, cluster_sort_exprs
+
+        sort_exprs = cluster_sort_exprs(
+            out, list(cluster_by), bits=cluster_bits or DEFAULT_BITS
+        )
+    new_files = table.write_files(
+        out, base.version + 1, max_records_per_file, sort_exprs=sort_exprs
+    )
 
     summary = {
         "operation": "bootstrap",
+        **({"clustered_by": list(cluster_by)} if cluster_by else {}),
         "batch_id": str(batch_id),
         "rows_written": sum(f.rows for f in new_files),
         HWM_KEY: int(offset_hwm) if offset_hwm is not None else None,
@@ -157,6 +176,7 @@ def bootstrap_load(
                     out.withColumn(BUCKET_COL, table.bucket_expr(num_buckets=nb)),
                     base.version + 1,
                     max_records_per_file,
+                    sort_exprs=sort_exprs,
                 )
     raise CommitConflict("bootstrap: lost the commit race 10 times")
 

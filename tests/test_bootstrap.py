@@ -261,3 +261,26 @@ def test_bootstrap_race_to_data_commit_raises(spark, table):
     table.ledger.commit = racing_commit
     with pytest.raises(ValueError, match="no longer empty"):
         bootstrap_load(table, _df(spark, [ev("a", 0, 0, "a")]), batch_id="boot")
+
+
+def test_bootstrap_cluster_by_prunes(spark, table):
+    """cluster_by on the initial load lays files out for attribute pruning:
+    a predicate on the clustered column reads fewer files than the table
+    holds, and the state is unchanged."""
+    # offset-as-attribute: 4 disjoint value ranges across 200 keys
+    rows = [ev(f"u{i}", i, i % 997, f"t{i}") for i in range(200)]
+    # small max_records_per_file: each bucket splits into several files, so
+    # each clustered split covers a narrow warc_ts range the zone maps can
+    # prune (a single file per bucket would span the whole range)
+    bootstrap_load(
+        table, _df(spark, rows), batch_id="boot", offset_hwm=199,
+        cluster_by=["warc_ts"], max_records_per_file=8,
+    )
+    assert table.snapshot().summary.get("clustered_by") == ["warc_ts"]
+    lo, hi = ts(0), ts(60)
+    pred = [("warc_ts", "between", (lo, hi))]
+    cand = table.candidate_files(where=pred)
+    assert len(cand) < len(table.snapshot().files)
+    got = {r["url"] for r in table.scan(where=pred).collect()}
+    want = {f"u{i}" for i in range(200) if 0 <= i % 997 <= 60}
+    assert got == want
