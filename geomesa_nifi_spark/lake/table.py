@@ -1124,7 +1124,9 @@ class LakeTable:
                 continue  # table moved under us: redo against the new state
         raise CommitConflict(f"rescale: lost the commit race {retries} times")
 
-    def expire_snapshots(self, keep_last: int = 20) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 20, older_than_ms: int | None = None
+    ) -> list[int]:
         """Drop ledger entries older than the newest ``keep_last`` versions.
 
         Metadata hygiene for long replays (10^4+ commits): time travel
@@ -1138,9 +1140,21 @@ class LakeTable:
         branch's interior snapshots may expire like any others, degrading
         its changelog range to the usual loud retention error.  Run
         ``vacuum()`` afterwards to free unreferenced data files.
+
+        ``older_than_ms``: additionally require a snapshot's commit time
+        to be before this epoch-ms cutoff (Iceberg's ``expireSnapshots
+        (olderThan, retainLast)`` pair) — a snapshot inside the newest
+        ``keep_last`` OR at/after the cutoff survives.  The two retention
+        axes compose: count bounds metadata size, age bounds how far back
+        an operator promise ("7 days of time travel") reaches.
         """
         versions = self.ledger._versions()
         drop = versions[:-keep_last] if keep_last > 0 else []
+        if older_than_ms is not None:
+            drop = [
+                v for v in drop
+                if self.ledger.snapshot(v).created_ms < int(older_than_ms)
+            ]
         tagged = set(self.ledger.tags().values()) | set(
             self.ledger.branches().values()
         )
@@ -1156,9 +1170,13 @@ class LakeTable:
             removed.append(v)
         # drop_branch tombstones below the horizon can go too: versions
         # above the newest LIVE snapshot stay claimed, so the version
-        # sequence never runs backwards
-        if versions and keep_last > 0 and len(versions) > keep_last:
-            cutoff = versions[-keep_last]
+        # sequence never runs backwards.  The horizon is the LOWEST
+        # SURVIVING version (not the count cutoff): an age-protected
+        # snapshot below the count horizon keeps its older neighbors'
+        # tombstones intact.
+        surviving = sorted(set(versions) - set(removed))
+        if surviving:
+            cutoff = surviving[0]
             for c in self.ledger._claimed_versions():
                 if c < cutoff:
                     d = os.path.join(self.ledger.dir, f"d{c:012d}.json")

@@ -146,3 +146,28 @@ def test_orphans_df_dry_run_matches_vacuum(spark, table):
     removed = set(table.vacuum())
     assert {o["path"] for o in orphans} <= removed
     assert orphans_df(table).count() == 0
+
+
+def test_expire_snapshots_age_retention(spark, table):
+    """older_than_ms composes with keep_last: a snapshot inside the count
+    window OR at/after the age cutoff survives."""
+    merge_changes(table, _df(spark, [ev(f"u{i}", 300 + i, f"d{i}") for i in range(3)]),
+                  batch_id="b2", mode="cow")
+    versions = [s.version for s in table.history()]
+    assert len(versions) >= 4
+    # cutoff between the second-to-last and last commits: only the last is
+    # "new enough", but keep_last=2 also protects the second-to-last
+    cut = table.ledger.snapshot(versions[-1]).created_ms
+    removed = table.expire_snapshots(keep_last=2, older_than_ms=cut)
+    assert set(removed) == set(versions[:-2])
+    left = [s.version for s in table.history()]
+    assert left == versions[-2:]
+    # everything still readable, horizon reads fail loudly
+    assert table.scan().count() == 20
+    with pytest.raises(Exception):
+        table.snapshot(versions[0])
+
+    # age alone protects older-but-recent snapshots even past keep_last
+    merge_changes(table, _df(spark, [ev("u0", 999, "zz")]), batch_id="b3")
+    removed2 = table.expire_snapshots(keep_last=1, older_than_ms=0)
+    assert removed2 == []  # every snapshot is newer than the epoch cutoff

@@ -201,8 +201,20 @@ def test_quarantine_routing(spark, tmp_path):
 
 def _job_count(spark) -> int:
     """Cumulative Spark job count (AppStatusStore) — for asserting how many
-    jobs a code path launches."""
-    return spark._jsc.sc().statusStore().jobsList(None).size()
+    jobs a code path launches.  The status store is fed by the ASYNC
+    listener bus, which lags under machine load; drain it first so the
+    count is exact, not eventually-consistent."""
+    sc = spark._jsc.sc()
+    try:
+        sc.listenerBus().waitUntilEmpty()
+    except Exception:
+        try:
+            sc.listenerBus().waitUntilEmpty(30_000)
+        except Exception:
+            import time
+
+            time.sleep(2)
+    return sc.statusStore().jobsList(None).size()
 
 
 def test_quarantine_is_single_job_per_batch(spark, tmp_path):
