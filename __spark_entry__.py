@@ -315,6 +315,27 @@ def _bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_state(table)
 
 
+def _read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-optimized MoR view (scan(read_optimized=True), the Hudi RO
+    table): base files only, NO read-time LWW pass.  After compaction
+    folds every bucket, the RO view must equal the real-time view — i.e.
+    the same full-stream LWW oracle.  This pins both halves of the
+    contract: compaction leaves nothing behind in deltas, and the
+    base-only read path (still tombstone-filtering, zone-map pruning)
+    resolves to the identical state."""
+    from geomesa_nifi_spark.lake import compact
+
+    table = _replay_table(spark, sf_dir, [3, 1, 2, 0], mode="mor")
+    compact(table)  # fold any remaining deltas: RO == RT from here on
+    return table.scan(read_optimized=True).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "src_offset",
+        "event_type",
+        "value",
+    )
+
+
 def _incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized aggregate (``lake/materialize.py``) — the
     downstream CDC consumer the reference leaves unspecified past its
@@ -1720,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay_rescaled": _merge_replay_rescaled,
         "cdc_merge_replay_rescaled_lazy": _merge_replay_rescaled_lazy,
         "cdc_bootstrap_handoff": _bootstrap_handoff,
+        "cdc_read_optimized": _read_optimized,
         "cdc_incremental_mv": _incremental_mv,
         "cdc_fid_rewrite": _fid_rewrite,
         "cdc_schema_evolution": _schema_evolution_replay,
@@ -1774,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_replay_rescaled": _LWW_STATE_SQL,
         "cdc_merge_replay_rescaled_lazy": _LWW_STATE_SQL,
         "cdc_bootstrap_handoff": _LWW_STATE_SQL,
+        "cdc_read_optimized": _LWW_STATE_SQL,
         "cdc_incremental_mv": _INCREMENTAL_MV_SQL,
         "cdc_fid_rewrite": _FID_REWRITE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,

@@ -358,7 +358,10 @@ def _cmd_scan(args) -> int:
             "files_total": len(snap.files),
             "files_after_pruning": len(cand),
         }), file=sys.stderr)
-    df = table.scan(version=args.version, where=where or None)
+    df = table.scan(
+        version=args.version, where=where or None,
+        read_optimized=args.read_optimized,
+    )
     for row in df.limit(args.limit).toJSON().collect():
         print(row)
     return 0
@@ -701,6 +704,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--limit", type=int, default=100)
     q.add_argument("--explain-pruning", action="store_true",
                    help="print files_total vs files_after_pruning to stderr")
+    q.add_argument("--read-optimized", action="store_true",
+                   help="base files only (MoR deltas invisible, no LWW pass)")
     q.set_defaults(fn=_cmd_scan)
 
     ins = sub.add_parser(
