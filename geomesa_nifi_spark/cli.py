@@ -303,9 +303,11 @@ def _cmd_vacuum(args) -> int:
 
     spark = _spark("gns-vacuum")
     table = LakeTable(spark, args.table)
-    expired = table.expire_snapshots(keep_last=args.keep_last)
+    expired = table.expire_snapshots(
+        keep_last=args.keep_last, older_than_ms=args.older_than_ms
+    )
     changelog = table.gc_changelog()
-    freed = table.vacuum()
+    freed = table.vacuum(min_age_s=args.min_age_s)
     print(json.dumps({
         "expired_snapshots": len(expired),
         "changelog_files_gced": len(changelog),
@@ -639,6 +641,11 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("vacuum", help="expire snapshots + delete orphans")
     v.add_argument("--table", required=True)
     v.add_argument("--keep-last", type=int, default=10)
+    v.add_argument("--older-than-ms", type=int, default=None,
+                   help="also require snapshots be older than this epoch-ms")
+    v.add_argument("--min-age-s", type=float, default=3600.0,
+                   help="grace period: skip unreferenced files younger than "
+                        "this (live writers stage files before committing)")
     v.set_defaults(fn=_cmd_vacuum)
 
     s = sub.add_parser("show", help="table state summary")

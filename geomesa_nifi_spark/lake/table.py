@@ -1215,9 +1215,30 @@ class LakeTable:
                     removed.append(cf["path"])
         return removed
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
         """Delete data files and ledger manifests not referenced by any
-        snapshot (failed/conflicted commits, expired versions)."""
+        snapshot (failed/conflicted commits, expired versions).
+
+        ``min_age_s``: grace period — an unreferenced file younger than
+        this is SKIPPED.  A concurrent writer stages its data files (and
+        the ledger its manifests) BEFORE the commit publishes references
+        to them; a vacuum racing that window would otherwise delete files
+        the about-to-win commit cites, corrupting the table.  One hour
+        covers any realistic write-files-to-commit gap (Delta's VACUUM has
+        the same contract with a 7-day default); pass ``0`` only when no
+        writer can be live (tests, decommissioned tables)."""
+        import time as _time
+
+        now = _time.time()
+
+        def _in_grace(full: str) -> bool:
+            if min_age_s <= 0:
+                return False
+            try:
+                return (now - os.path.getmtime(full)) < min_age_s
+            except OSError:
+                return True  # raced a concurrent delete/rename: leave it
+
         referenced = set()
         live_manifests: set[str] = set()
         for snap in self.ledger.snapshots():
@@ -1235,7 +1256,11 @@ class LakeTable:
             for name in filenames:
                 full = os.path.join(dirpath, name)
                 rel = os.path.normpath(os.path.relpath(full, self.root))
-                if name.endswith(".parquet") and rel not in referenced:
+                if (
+                    name.endswith(".parquet")
+                    and rel not in referenced
+                    and not _in_grace(full)
+                ):
                     os.unlink(full)
                     removed.append(rel)
         # Manifest GC: losing commit attempts and expired snapshots leave
@@ -1246,6 +1271,9 @@ class LakeTable:
                 name.startswith(MANIFEST_PREFIX)
                 and name.endswith(".json")
                 and name not in live_manifests
+                # manifests are written BEFORE the O_EXCL version link: the
+                # same staging window as data files, same grace
+                and not _in_grace(os.path.join(self.ledger.dir, name))
             ):
                 os.unlink(os.path.join(self.ledger.dir, name))
                 removed.append(os.path.join(LEDGER_DIR, name))

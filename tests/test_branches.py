@@ -132,7 +132,7 @@ def test_drop_branch(spark):
         # main's files survive
         import os
 
-        removed = set(t.vacuum())
+        removed = set(t.vacuum(min_age_s=0))
         assert (staged_files - main_files) <= removed
         for f in t.snapshot().files:
             assert os.path.exists(os.path.join(t.root, f.path))
@@ -321,7 +321,7 @@ def test_branch_head_survives_expiry(spark):
         for i in range(8):
             merge_changes(t, _src(spark, 500 + i, 501 + i), batch_id=f"m{i}", mode="mor")
         t.expire_snapshots(keep_last=3)
-        t.vacuum()
+        t.vacuum(min_age_s=0)
         # the quiet branch's head is protected like a tag — still readable
         assert _state(LakeTable(spark, t.root, branch="audit")) == staged
 

@@ -115,7 +115,7 @@ def test_cow_changelog_retention(spark, tmp_path):
     # scans never see changelog side files
     assert {r.url for r in t.scan().collect()} == {"a"}
     # vacuum keeps summary-referenced changelog files
-    assert t.vacuum() == []
+    assert t.vacuum(min_age_s=0) == []
     assert len(table_changes(t).collect()) == len(ch)
     # without the property, CoW commits stay summary-only (rewrite_commits)
     t2 = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA, key_col="url",

@@ -83,7 +83,7 @@ def test_cow_conflict_same_bucket_redoes_merge(spark, tmp_path, monkeypatch):
     final = {x.url: x.text for x in t.scan().collect()}
     assert final == {"k": "intruder"}  # offset 50 beats 10 after the redo
     # the abandoned first-attempt files are unreferenced -> vacuum removes them
-    assert t.vacuum()
+    assert t.vacuum(min_age_s=0)
 
 
 def test_cow_changelog_survives_rebase(spark, tmp_path, monkeypatch):
@@ -172,7 +172,7 @@ def test_append_only_rebases_past_concurrent_commit(spark, tmp_path, monkeypatch
     assert {x.url for x in t.scan().collect()} == {"other", "mine"}
     # the rebased commit reused its files: no orphaned DATA files for vacuum
     # (the losing attempt's tiny ledger manifests are expected orphans)
-    assert [p for p in t.vacuum() if p.endswith(".parquet")] == []
+    assert [p for p in t.vacuum(min_age_s=0) if p.endswith(".parquet")] == []
 
 
 def test_append_only_conflict_idempotent_skip(spark, tmp_path, monkeypatch):

@@ -143,7 +143,7 @@ def test_orphans_df_dry_run_matches_vacuum(spark, table):
     orphans = orphans_df(table).collect()
     assert orphans, "expired snapshots should leave unreferenced files"
     assert all(o["size_bytes"] > 0 and o["modified_ms"] > 0 for o in orphans)
-    removed = set(table.vacuum())
+    removed = set(table.vacuum(min_age_s=0))
     assert {o["path"] for o in orphans} <= removed
     assert orphans_df(table).count() == 0
 
@@ -171,3 +171,27 @@ def test_expire_snapshots_age_retention(spark, table):
     merge_changes(table, _df(spark, [ev("u0", 999, "zz")]), batch_id="b3")
     removed2 = table.expire_snapshots(keep_last=1, older_than_ms=0)
     assert removed2 == []  # every snapshot is newer than the epoch cutoff
+
+
+def test_vacuum_grace_period_protects_staged_files(spark, table):
+    """An unreferenced file younger than min_age_s survives vacuum — the
+    window where a concurrent writer has staged data files (or the ledger
+    a manifest) but not yet published the commit that references them."""
+    import os
+
+    merge_changes(table, _df(spark, [ev(f"u{i}", 400 + i, f"e{i}") for i in range(3)]),
+                  batch_id="b3", mode="cow")
+    table.expire_snapshots(keep_last=1)
+    from geomesa_nifi_spark.lake import orphans_df
+
+    orphan_paths = {o["path"] for o in orphans_df(table).collect()}
+    assert orphan_paths
+    # default grace: freshly-written orphans are left alone
+    assert table.vacuum() == []
+    assert {o["path"] for o in orphans_df(table).collect()} == orphan_paths
+    # age the files past the horizon: now they go
+    for p in orphan_paths:
+        full = os.path.join(table.root, p)
+        os.utime(full, (1, 1))
+    removed = set(table.vacuum())
+    assert orphan_paths <= removed

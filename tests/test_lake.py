@@ -141,7 +141,7 @@ def test_vacuum_removes_orphans(spark, tmp_path):
 
     orphan = df.withColumn(BUCKET_COL, t.bucket_expr())
     t.write_files(orphan, version_hint=99)
-    removed = t.vacuum()
+    removed = t.vacuum(min_age_s=0)
     assert removed  # orphans deleted
     assert t.scan().count() == 20  # live data intact
 

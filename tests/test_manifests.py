@@ -146,7 +146,7 @@ def test_vacuum_collects_orphan_and_expired_manifests(spark, tmp_path):
         json.dump({"files": []}, fh)
     live_before = {r["path"] for v in t.ledger._versions()
                    for r in (t.ledger.manifest_refs(v) or [])}
-    removed = set(t.vacuum())
+    removed = set(t.vacuum(min_age_s=0))
     assert os.path.basename(orphan) in {os.path.basename(p) for p in removed}
     assert all(os.path.exists(os.path.join(led_dir, n)) for n in live_before)
 
@@ -155,7 +155,7 @@ def test_vacuum_collects_orphan_and_expired_manifests(spark, tmp_path):
     t2 = LakeTable(spark, t.root)  # fresh ledger view after expiry
     keep = {r["path"] for v in t2.ledger._versions()
             for r in (t2.ledger.manifest_refs(v) or [])}
-    t2.vacuum()
+    t2.vacuum(min_age_s=0)
     left = set(_manifests(t.root))
     assert left == keep
     assert t2.scan().count() == 40  # state intact after GC

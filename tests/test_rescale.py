@@ -295,7 +295,7 @@ def test_rescale_then_vacuum_drops_old_layout(spark, tmp_path):
     before = state(t)
     t.rescale(8)
     t.expire_snapshots(keep_last=1)
-    removed = t.vacuum()
+    removed = t.vacuum(min_age_s=0)
     assert removed  # the old 4-bucket layout's files are gone
     assert state(t) == before
 

@@ -73,7 +73,7 @@ def test_tagged_version_survives_expiry(spark):
         pinned_state = sorted(map(tuple, t.scan(version=1).collect()))
         removed = t.expire_snapshots(keep_last=2)
         assert 1 not in removed and 0 in removed
-        t.vacuum()
+        t.vacuum(min_age_s=0)
         # the tagged version still reads, byte-identically
         assert sorted(map(tuple, t.scan(version="pinned").collect())) == pinned_state
         # untagged expired version is gone

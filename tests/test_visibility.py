@@ -73,7 +73,7 @@ def test_expire_snapshots_and_vacuum(spark, tmp_path):
     removed = t.expire_snapshots(keep_last=3)
     assert len(removed) == 4
     assert [s.version for s in t.history()] == [4, 5, 6]
-    freed = t.vacuum()
+    freed = t.vacuum(min_age_s=0)
     assert freed  # files only referenced by expired snapshots are gone
     assert t.scan().count() == 1  # current state intact
     # recent batch ids still known for idempotency; the in-process ledger

@@ -123,7 +123,7 @@ def main() -> None:
                 f"state intact: {ok}"
             )
     expired = table.expire_snapshots(keep_last=10)
-    freed = table.vacuum()
+    freed = table.vacuum(min_age_s=0)
     print(f"expired {len(expired)} snapshots, vacuumed {len(freed)} files; "
           f"state intact: {table.scan().count() == got}")
 
