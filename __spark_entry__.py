@@ -1044,6 +1044,51 @@ def _debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_state(table)
 
 
+def _confluent_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingest from the Confluent Schema Registry wire format
+    (``sources/confluent.py`` ≙ ``ConfluentKafkaDataStoreService.scala:
+    23-42``): the change stream framed as magic 0x00 + 4-byte schema id +
+    bare Avro bodies against a dict-backed registry, decoded back through
+    the consumer path and replayed through the lake in scrambled batches —
+    the end state must equal the native-ingest LWW oracle exactly."""
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+    from geomesa_nifi_spark.sources.confluent import InMemorySchemaRegistry
+    from geomesa_nifi_spark.streaming.kafka import (
+        changes_to_kafka_records,
+        kafka_records_to_changes,
+    )
+
+    payload = _changes(spark, sf_dir)  # url, warc_ts, src_offset, event_type, value, op
+    registry = InMemorySchemaRegistry()
+    wire = changes_to_kafka_records(
+        payload, key_col="url", value_format="confluent",
+        registry=registry, subject="pages-value",
+    )
+    shaped = wire.select(
+        "key",
+        "value",
+        F.lit("pages").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    decoded = kafka_records_to_changes(
+        shaped, payload.schema, include_lineage=False,
+        value_format="confluent", registry=registry,
+    )
+    root = tempfile.mkdtemp(prefix="gns_entry_cfl_") + "/pages"
+    table = LakeTable.create(
+        spark, root, _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset", num_buckets=16,
+    )
+    for b in (1, 2, 0):
+        merge_changes(
+            table,
+            decoded.filter(F.pmod(F.col("src_offset"), F.lit(3)) == b),
+            batch_id=f"cfl-{b}",
+        )
+    return _final_state(table)
+
+
 def _changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog egress (store -> records, ``GetGeoMesaKafkaRecord``): the
     change events of exactly one committed batch, read back from the lake's
@@ -1756,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stateful_lww": _stateful_lww,
         "cdc_append_only": _append_only_q,
         "cdc_debezium_ingest": _debezium_ingest,
+        "cdc_confluent_ingest": _confluent_ingest,
         "cdc_delete_where": _delete_where_q,
         "cdc_rollback": _rollback_q,
         "cdc_wap_publish": _wap_publish_q,
@@ -1811,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stateful_lww": _STATEFUL_LWW_SQL,
         "cdc_append_only": _APPEND_ONLY_SQL,
         "cdc_debezium_ingest": _LWW_STATE_SQL,
+        "cdc_confluent_ingest": _LWW_STATE_SQL,
         "cdc_delete_where": _DELETE_WHERE_SQL,
         "cdc_rollback": _ROLLBACK_SQL,
         "cdc_wap_publish": _LWW_STATE_SQL,

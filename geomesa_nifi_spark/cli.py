@@ -356,6 +356,9 @@ def _cmd_scan(args) -> int:
     if args.explain_pruning:
         snap = table.snapshot(args.version)
         cand = table.candidate_files(where=where, version=args.version)
+        if args.read_optimized:
+            # the scan below drops delta files too; report what it reads
+            cand = [f for f in cand if f.kind != "delta"]
         print(json.dumps({
             "files_total": len(snap.files),
             "files_after_pruning": len(cand),
@@ -393,12 +396,19 @@ def _cmd_bootstrap(args) -> int:
     spark = _spark("gns-bootstrap")
     table = LakeTable(spark, args.table)
     src = spark.read.parquet(args.source)
+    cluster_by = (
+        [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+        if args.cluster_by
+        else None
+    )
     res = bootstrap_load(
         table,
         src,
         batch_id=args.batch_id,
         offset_hwm=args.offset_hwm,
         op_col=args.op_col,
+        cluster_by=cluster_by,
+        cluster_bits=args.cluster_bits,
     )
     print(json.dumps({
         "skipped": res.skipped,
@@ -737,6 +747,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="greatest change-stream position the snapshot reflects")
     bs.add_argument("--op-col", default=None,
                     help="op column naming delete rows (tombstone-preserving snapshots)")
+    bs.add_argument("--cluster-by", default=None,
+                    help="comma-separated columns to cluster each bucket by "
+                         "(one: linear sort; several: Z-order) — the initial "
+                         "load is the one free chance to lay the table out")
+    bs.add_argument("--cluster-bits", type=int, default=None,
+                    help="Z-order bits per dimension (default: cluster.DEFAULT_BITS)")
     bs.set_defaults(fn=_cmd_bootstrap)
     return p
 

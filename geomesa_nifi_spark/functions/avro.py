@@ -671,19 +671,41 @@ def write_avro(
     return len(parts)
 
 
+#: write_avro_file is a driver-side collect by design (deterministic single
+#: file); this bound keeps a caller from accidentally handing it bulk data.
+MAX_SINGLE_FILE_ROWS = 1_000_000
+
+
 def write_avro_file(
     df: DataFrame,
     path: str,
     order_by: list[str] | None = None,
     codec: str = "deflate",
+    max_rows: int = MAX_SINGLE_FILE_ROWS,
 ) -> str:
     """Single exact file with deterministic bytes (the ``ConvertToGeoFile``
     avro output shape, ``ConvertToGeoFile.scala:197-212``): rows ordered,
     fixed sync marker derived from the schema, driver-side collect — for
-    FlowFile-sized exports, not bulk data."""
+    FlowFile-sized exports, not bulk data.
+
+    Fails loudly above ``max_rows`` (same pattern as visibility.py's
+    ``MAX_DISTINCT_LABELS``): the driver collect would otherwise OOM
+    silently on a bulk frame — use :func:`write_avro` (distributed, one
+    file per partition + manifest) for anything large."""
     if order_by:
         df = df.orderBy(*order_by)
-    rows = [r.asDict(recursive=True) for r in df.collect()]
+    # guard via limit(n+1): one job, bounded driver memory even on the
+    # failing path (no pre-count pass)
+    collected = (
+        df.limit(max_rows + 1).collect() if max_rows is not None else df.collect()
+    )
+    if max_rows is not None and len(collected) > max_rows:
+        raise ValueError(
+            f"write_avro_file collects to the driver and got > {max_rows} "
+            "rows; use write_avro for bulk data (or raise max_rows "
+            "explicitly if the driver can hold it)"
+        )
+    rows = [r.asDict(recursive=True) for r in collected]
     import hashlib
 
     sync = hashlib.md5(df.schema.json().encode()).digest()

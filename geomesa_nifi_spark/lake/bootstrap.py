@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geomesa_nifi_spark.lake.ledger import CommitConflict, Snapshot
-from geomesa_nifi_spark.lake.merge import MergeResult, OP_COL_DEFAULT
+from geomesa_nifi_spark.lake.merge import MergeResult
 from geomesa_nifi_spark.lake.table import BUCKET_COL, DELETED_COL, LakeTable
 from geomesa_nifi_spark.operators.dedup import lww_dedup
 

@@ -126,6 +126,7 @@ def partitions_df(table: LakeTable, version: int | str | None = None) -> DataFra
     rescale migration debt).  This is the skew dashboard: a hot domain
     shows up as one bucket's rows/bytes far above the median."""
     snap = table.snapshot(version)
+    nb = int(snap.properties["num_buckets"])
     agg: dict[int, list[int]] = {}
     for f in snap.files:
         a = agg.setdefault(f.bucket, [0, 0, 0, 0, 0, 0])
@@ -137,7 +138,9 @@ def partitions_df(table: LakeTable, version: int | str | None = None) -> DataFra
             a[4] += os.path.getsize(os.path.join(table.root, f.path))
         except OSError:
             pass
-        a[5] += 1 if f.modulus is not None else 0
+        # same debt predicate as migrate_layout: a stamp equal to the
+        # current modulus is NOT debt (migrate_layout would never touch it)
+        a[5] += 1 if (f.modulus or nb) != nb else 0
     rows = [
         (b, v[0], v[1], v[2], v[3], v[4], v[5]) for b, v in sorted(agg.items())
     ]
@@ -153,12 +156,24 @@ _ORPHANS_SCHEMA = T.StructType(
 )
 
 
-def orphans_df(table: LakeTable) -> DataFrame:
+def orphans_df(table: LakeTable, min_age_s: float = 3600.0) -> DataFrame:
     """Data files on disk referenced by NO live snapshot (any branch) —
     a read-only dry run of what ``vacuum()`` would delete.  Orphans come
     from failed write attempts, lost commit races, and expired snapshots;
     at 100 TB an operator wants their volume visible (and billed storage
-    explained) before running the deleting pass."""
+    explained) before running the deleting pass.
+
+    ``min_age_s`` mirrors ``vacuum()``'s grace period (same default): a
+    live writer's freshly staged files are NOT reported as deletable —
+    vacuum would skip them too.  Pass ``0`` to see every unreferenced
+    file regardless of age.
+
+    Scope note: this walks ``data/`` only.  ``vacuum()`` additionally
+    GCs unreferenced ledger manifests; those (tiny, bounded by commit
+    attempts) are not listed here."""
+    import time as _time
+
+    now = _time.time()
     referenced: set[str] = set()
     for snap in table.ledger.snapshots():
         for f in snap.files:
@@ -173,7 +188,13 @@ def orphans_df(table: LakeTable) -> DataFrame:
                 continue
             full = os.path.join(dirpath, name)
             rel = os.path.normpath(os.path.relpath(full, table.root))
-            if rel not in referenced:
+            if rel in referenced:
+                continue
+            try:
                 st = os.stat(full)
-                rows.append((rel, st.st_size, int(st.st_mtime * 1000)))
+            except OSError:
+                continue  # raced a concurrent delete: not an orphan anymore
+            if min_age_s > 0 and (now - st.st_mtime) < min_age_s:
+                continue  # inside vacuum's grace window: not deletable yet
+            rows.append((rel, st.st_size, int(st.st_mtime * 1000)))
     return table.spark.createDataFrame(rows, _ORPHANS_SCHEMA)

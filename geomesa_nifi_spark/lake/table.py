@@ -80,6 +80,9 @@ class LakeTable:
         # corruption), so it is always resolved from the latest snapshot —
         # a bounded metadata read, called O(1) times per batch.
         self._structural: dict[str, str] | None = None
+        #: (files, seconds, distributed) of the most recent footer-stats
+        #: pass (_read_footers) — ops/bench visibility into commit cost
+        self.last_footer_stats: dict | None = None
 
     def _struct_prop(self, name: str) -> str | None:
         if self._structural is None:
@@ -898,8 +901,6 @@ class LakeTable:
     def _discover_files(
         self, subdir: str, kind: str = "base", stat_columns: set[str] | None = None
     ) -> list[DataFile]:
-        import concurrent.futures
-
         found: list[tuple[str, int, str]] = []  # (rel_path, bucket, full)
         base = os.path.join(self.root, subdir)
         for dirpath, _dirnames, filenames in os.walk(base):
@@ -910,23 +911,87 @@ class LakeTable:
                 found.append(
                     (os.path.join(rel_dir, name), _bucket_from_path(dirpath), os.path.join(dirpath, name))
                 )
-
-        def footer_of(full: str) -> tuple[int, dict | None]:
-            if not pq:
-                return -1, None
-            rows = pq.ParquetFile(full).metadata.num_rows
-            # zone maps ride the same footer read (no extra job, no data IO)
-            st = zone.collect_file_stats(full, stat_columns) if stat_columns else None
-            return rows, st
-
-        # Footer reads are per-file metadata IO — parallelize so a commit of
-        # hundreds of bucket files doesn't serialize on the driver.
-        with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
-            footers = list(pool.map(footer_of, [f[2] for f in found]))
+        footers = self._read_footers([f[2] for f in found], stat_columns)
         return [
             DataFile(path=rel, bucket=bucket, rows=r, kind=kind, stats=st)
             for (rel, bucket, _full), (r, st) in zip(found, footers)
         ]
+
+    def _read_footers(
+        self, paths: list[str], stat_columns: set[str] | None
+    ) -> list[tuple[int, dict | None]]:
+        """Row counts + zone-map stats per written file, from parquet
+        footers (no data IO — the stats ride the same footer read).
+
+        Two execution shapes, picked by file count:
+
+        * ≤ threshold (the CDC steady state — a commit touches O(buckets)
+          files): a 16-thread driver pool.  Fine at this scale; a Spark
+          job's fixed scheduling cost would dominate.
+        * > threshold (bulk shapes — ``bootstrap_load`` commits the whole
+          initial table in ONE commit; at 100 TB that is 10^5-10^6 files):
+          a Spark job, one footer open per task element, so stats
+          collection scales with the executor count instead of funneling
+          every footer through the driver's NIC.
+
+        Threshold via table property ``stats.footer.distribute.threshold``
+        (default 512).  ``self.last_footer_stats`` records (files, seconds,
+        distributed) for benches and ops dashboards."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        if not paths or not pq:
+            self.last_footer_stats = {
+                "files": len(paths), "seconds": 0.0, "distributed": False,
+            }
+            return [(-1, None)] * len(paths)
+        threshold = int(
+            self.snapshot().properties.get("stats.footer.distribute.threshold", "512")
+        )
+        stat_cols = sorted(stat_columns) if stat_columns else None
+
+        def footer_of(full: str) -> tuple[int, dict | None]:
+            rows = pq.ParquetFile(full).metadata.num_rows
+            st = zone.collect_file_stats(full, set(stat_cols)) if stat_cols else None
+            return rows, st
+
+        distributed = len(paths) > threshold
+        if not distributed:
+            import concurrent.futures
+
+            with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
+                footers = list(pool.map(footer_of, paths))
+        else:
+            # Executor-side fanout.  Stats are ledger-JSON-safe by
+            # construction (zone.canon), so the JSON hop is lossless; paths
+            # key the result map because partition order is not guaranteed.
+            sc = self.spark.sparkContext
+            n_slices = max(1, min(len(paths), sc.defaultParallelism * 4))
+
+            def task(full: str) -> tuple[str, int, str | None]:
+                import pyarrow.parquet as _pq
+
+                from geomesa_nifi_spark.lake import stats as _zone
+
+                rows = _pq.ParquetFile(full).metadata.num_rows
+                st = (
+                    _zone.collect_file_stats(full, set(stat_cols))
+                    if stat_cols
+                    else None
+                )
+                return full, rows, json.dumps(st) if st else None
+
+            got = {
+                p: (r, json.loads(sj) if sj else None)
+                for p, r, sj in sc.parallelize(paths, n_slices).map(task).collect()
+            }
+            footers = [got[p] for p in paths]
+        self.last_footer_stats = {
+            "files": len(paths),
+            "seconds": round(_time.monotonic() - t0, 3),
+            "distributed": distributed,
+        }
+        return footers
 
     def commit_rewrite(
         self,

@@ -121,7 +121,11 @@ _JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
 def kafka_records_to_changes(
-    df, value_schema, include_lineage: bool = True, value_format: str = "json"
+    df,
+    value_schema,
+    include_lineage: bool = True,
+    value_format: str = "json",
+    registry=None,
 ):
     """Decode Kafka records into typed change events — the per-record
     conversion the reference applies with its RecordReader
@@ -142,6 +146,14 @@ def kafka_records_to_changes(
     (``sources/debezium.py``); log-compaction tombstones (null value) are
     dropped, and the output carries ``op``/``dbz_ts_ms``/``dbz_lsn`` on
     top of the payload columns.
+
+    ``value_format="confluent"``: the value carries the Confluent Schema
+    Registry framing (magic 0x00 + 4-byte schema id + bare Avro body,
+    ``sources/confluent.py`` ≙ ``ConfluentKafkaDataStoreService.scala:
+    23-42``); pass ``registry`` (an ``InMemorySchemaRegistry`` or any
+    object with ``by_id``) to resolve writer schemas — decoded rows
+    conform to ``value_schema`` by name, so additive producer-side
+    schema evolution decodes in one pass.
 
     The Kafka coordinates ride along as ``_kafka_partition`` /
     ``_kafka_offset`` lineage columns so per-partition offset ranges land
@@ -180,9 +192,21 @@ def kafka_records_to_changes(
         )
         pt = ("_kafka_partition", "_kafka_offset") if include_lineage else ()
         return decode(src, value_schema, passthrough=pt)
+    if value_format == "confluent":
+        from geomesa_nifi_spark.sources.confluent import confluent_decode_records
+
+        if registry is None:
+            raise KafkaConfigError(
+                "value_format='confluent' requires a registry (the schema-id "
+                "mapping; see sources/confluent.py InMemorySchemaRegistry)"
+            )
+        return confluent_decode_records(
+            df, value_schema, registry, include_lineage=include_lineage
+        )
     if value_format != "avro":
         raise KafkaConfigError(
-            f"value_format must be json|avro|debezium|debezium-flat, got {value_format!r}"
+            "value_format must be json|avro|confluent|debezium|debezium-flat, "
+            f"got {value_format!r}"
         )
 
     from pyspark.sql import types as T
@@ -284,6 +308,8 @@ def changes_to_kafka_records(
     key_col: str,
     value_format: str = "json",
     records_per_message: int = 500,
+    registry=None,
+    subject: str = None,
 ):
     """Encode change rows into Kafka (key, value) pairs — the inverse of
     :func:`kafka_records_to_changes`, so a produce/consume round trip is
@@ -295,9 +321,21 @@ def changes_to_kafka_records(
     object-container messages of up to ``records_per_message`` records
     (the reference's GeoAvro-over-Kafka shape); key = null (the container
     carries the fids).  Message framing is per input partition, so
-    producing never shuffles."""
+    producing never shuffles.
+    ``value_format="confluent"``: one registry-framed message per row
+    (magic 0x00 + schema id + bare Avro body); requires ``registry`` and
+    ``subject`` — the writer schema registers once on the driver
+    (``sources/confluent.py``)."""
     from pyspark.sql import functions as F
 
+    if value_format == "confluent":
+        from geomesa_nifi_spark.sources.confluent import confluent_encode_records
+
+        if registry is None or not subject:
+            raise KafkaConfigError(
+                "value_format='confluent' requires registry and subject"
+            )
+        return confluent_encode_records(df, key_col, registry, subject)
     if value_format == "json":
         return df.select(
             F.col(key_col).cast("string").cast("binary").alias("key"),

@@ -353,3 +353,15 @@ def test_write_avro_retry_idempotent(spark, tmp_path):
     files = [n for n in os.listdir(out) if n.endswith(".avro")]
     assert files == ["part-00000.avro"]
     assert read_avro(spark, out).count() == 2
+
+
+def test_write_avro_file_guards_bulk_collect(spark, tmp_path):
+    """The deterministic single-file path fails loudly above max_rows
+    instead of silently collecting a bulk frame to the driver."""
+    df = spark.range(10).selectExpr("id as k", "cast(id as string) as v")
+    with pytest.raises(ValueError, match="write_avro for bulk data"):
+        write_avro_file(df, str(tmp_path / "big.avro"), max_rows=5)
+    # at exactly the bound it still writes
+    p = write_avro_file(df, str(tmp_path / "ok.avro"), order_by=["k"], max_rows=10)
+    got = read_avro(spark, p)
+    assert got.count() == 10

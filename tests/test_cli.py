@@ -397,3 +397,59 @@ def test_cli_branch_publish_drop(spark, tmp_path, capsys):
     assert main(["branch", "--table", table, "audit", "--delete"]) == 0
     assert json.loads(capsys.readouterr().out.strip())["dropped"] == "audit"
     assert set(t.branches()) == {"main"}
+
+
+def test_cli_bootstrap_cluster_and_ro_pruning(spark, tmp_path, capsys):
+    """--cluster-by/--cluster-bits reach bootstrap_load, and
+    --explain-pruning under --read-optimized counts only the files the
+    read-optimized scan actually opens (deltas excluded)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_nifi_spark.lake import LakeTable, merge_changes
+
+    table = str(tmp_path / "t")
+    main([
+        "create-table", "--table", table,
+        "--schema", "url string, warc_ts timestamp, offset long, text string",
+        "--key", "url", "--ts", "warc_ts", "--tiebreak", "offset",
+        "--buckets", "4",
+    ])
+    capsys.readouterr()
+    src = str(tmp_path / "snap.parquet")
+    spark.range(40).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("warc_ts"),
+        F.col("id").alias("offset"),
+        F.lit("x").alias("text"),
+    ).write.parquet(src)
+    rc = main([
+        "bootstrap", "--table", table, "--source", src, "--offset-hwm", "39",
+        "--cluster-by", "offset,warc_ts", "--cluster-bits", "16",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bootstrapped"] == 40
+    t = LakeTable(spark, table)
+    assert t.snapshot().summary["clustered_by"] == ["offset", "warc_ts"]
+
+    # add uncompacted MoR deltas, then compare pruning counts
+    ch = spark.range(5).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_micros((F.col("id") + 100) * 1_000_000).alias("warc_ts"),
+        (F.col("id") + 100).alias("offset"),
+        F.lit("y").alias("text"),
+        F.lit("upsert").alias("op"),
+    )
+    merge_changes(t, ch, batch_id="d1", mode="mor", auto_compact=False)
+    n_delta = sum(1 for f in t.snapshot().files if f.kind == "delta")
+    assert n_delta > 0
+    capsys.readouterr()
+    assert main(["scan", "--table", table, "--explain-pruning", "--limit", "50"]) == 0
+    cap = capsys.readouterr()
+    full = json.loads(cap.err.strip().splitlines()[-1])
+    assert main(["scan", "--table", table, "--explain-pruning",
+                 "--read-optimized", "--limit", "50"]) == 0
+    cap = capsys.readouterr()
+    ro = json.loads(cap.err.strip().splitlines()[-1])
+    assert ro["files_total"] == full["files_total"]
+    assert ro["files_after_pruning"] == full["files_after_pruning"] - n_delta

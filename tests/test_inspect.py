@@ -140,12 +140,12 @@ def test_orphans_df_dry_run_matches_vacuum(spark, table):
     merge_changes(table, _df(spark, [ev(f"u{i}", 200 + i, f"c{i}") for i in range(5)]),
                   batch_id="b2", mode="cow")
     table.expire_snapshots(keep_last=1)
-    orphans = orphans_df(table).collect()
+    orphans = orphans_df(table, min_age_s=0).collect()
     assert orphans, "expired snapshots should leave unreferenced files"
     assert all(o["size_bytes"] > 0 and o["modified_ms"] > 0 for o in orphans)
     removed = set(table.vacuum(min_age_s=0))
     assert {o["path"] for o in orphans} <= removed
-    assert orphans_df(table).count() == 0
+    assert orphans_df(table, min_age_s=0).count() == 0
 
 
 def test_expire_snapshots_age_retention(spark, table):
@@ -184,14 +184,17 @@ def test_vacuum_grace_period_protects_staged_files(spark, table):
     table.expire_snapshots(keep_last=1)
     from geomesa_nifi_spark.lake import orphans_df
 
-    orphan_paths = {o["path"] for o in orphans_df(table).collect()}
+    orphan_paths = {o["path"] for o in orphans_df(table, min_age_s=0).collect()}
     assert orphan_paths
-    # default grace: freshly-written orphans are left alone
+    # default grace: freshly-written orphans are left alone — and the dry
+    # run AGREES with vacuum (reports nothing deletable inside the window)
+    assert orphans_df(table).count() == 0
     assert table.vacuum() == []
-    assert {o["path"] for o in orphans_df(table).collect()} == orphan_paths
-    # age the files past the horizon: now they go
+    assert {o["path"] for o in orphans_df(table, min_age_s=0).collect()} == orphan_paths
+    # age the files past the horizon: now they go (dry run shows them first)
     for p in orphan_paths:
         full = os.path.join(table.root, p)
         os.utime(full, (1, 1))
+    assert {o["path"] for o in orphans_df(table).collect()} == orphan_paths
     removed = set(table.vacuum())
     assert orphan_paths <= removed

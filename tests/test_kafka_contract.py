@@ -376,3 +376,167 @@ def test_kafka_debezium_values(spark, tmp_path):
     got = sorted(map(tuple, t.scan().collect()))
     want = sorted(map(tuple, t2.scan().collect()))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Confluent Schema Registry wire format (sources/confluent.py)
+# ---------------------------------------------------------------------------
+
+
+def _registry_and_frame(rows, schema=VALUE_SCHEMA, subject="pages-value"):
+    """Hand-frame rows with the engine's encoders: registry + wire bytes."""
+    from geomesa_nifi_spark.functions.avro import (
+        _make_nullable_encoder,
+        spark_to_avro_schema,
+    )
+    from geomesa_nifi_spark.sources.confluent import InMemorySchemaRegistry
+
+    reg = InMemorySchemaRegistry()
+    sid = reg.register(subject, spark_to_avro_schema(schema))
+    encs = [(f.name, _make_nullable_encoder(f.dataType)) for f in schema.fields]
+    frames = []
+    for row in rows:
+        body = bytearray()
+        for name, enc in encs:
+            enc(body, row.get(name))
+        frames.append(bytes([0]) + sid.to_bytes(4, "big") + bytes(body))
+    return reg, sid, frames
+
+
+def test_confluent_golden_framing(spark):
+    """Golden bytes: magic 0x00, big-endian schema id, bare Avro body —
+    and the consumer path decodes the hand-framed message exactly."""
+    rows = [
+        {"url": "u1", "warc_ts": dt.datetime(2024, 1, 1, 0, 0, 10),
+         "offset": 1, "text": "v1", "op": "upsert"},
+    ]
+    reg, sid, frames = _registry_and_frame(rows)
+    assert frames[0][0] == 0x00
+    assert int.from_bytes(frames[0][1:5], "big") == sid == 1
+    kafka_rows = [(b"u1", frames[0], "pages", 0, 7, dt.datetime(2024, 1, 1), 0)]
+    df = spark.createDataFrame(kafka_rows, KAFKA_RECORD_SCHEMA)
+    out = kafka_records_to_changes(
+        df, VALUE_SCHEMA, value_format="confluent", registry=reg
+    )
+    got = out.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["url"] == "u1" and r["text"] == "v1" and r["op"] == "upsert"
+    assert r["warc_ts"] == dt.datetime(2024, 1, 1, 0, 0, 10)
+    assert r["_kafka_partition"] == 0 and r["_kafka_offset"] == 7
+
+
+def test_confluent_producer_consumer_roundtrip(spark):
+    """Engine-framed produce -> consume is the identity; keys carry the
+    row key (key-partitioned topic shape); tombstones (null value) drop."""
+    from geomesa_nifi_spark.sources.confluent import InMemorySchemaRegistry
+    from geomesa_nifi_spark.streaming.kafka import changes_to_kafka_records
+
+    reg = InMemorySchemaRegistry()
+    ch = _changes_df(spark, 12)
+    wire = changes_to_kafka_records(
+        ch, key_col="url", value_format="confluent",
+        registry=reg, subject="pages-value",
+    )
+    recs = wire.collect()
+    assert len(recs) == 12
+    assert all(r["value"][0] == 0 for r in recs)
+    assert {bytes(r["key"]).decode() for r in recs} == {f"u{i}" for i in range(12)}
+    import pyspark.sql.functions as F
+
+    shaped = wire.select(
+        "key", "value", F.lit("pages").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    # splice in a log-compaction tombstone: null value, must be dropped
+    tomb = spark.createDataFrame(
+        [(b"u0", None, "pages", 0, 999)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    back = kafka_records_to_changes(
+        shaped.unionByName(tomb), VALUE_SCHEMA, include_lineage=False,
+        value_format="confluent", registry=reg,
+    )
+    got = {r["url"]: r for r in back.collect()}
+    want = {r["url"]: r for r in ch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("warc_ts", "offset", "text", "op"):
+            assert got[k][c] == want[k][c], (k, c)
+
+
+def test_confluent_schema_evolution_by_id(spark):
+    """A topic with messages from TWO writer schema versions (old one
+    lacks `text`) decodes in one pass: each message resolves its writer
+    schema by id, missing reader fields null-pad by name."""
+    OLD = T.StructType([f for f in VALUE_SCHEMA.fields if f.name != "text"])
+    old_rows = [{"url": "u-old", "warc_ts": dt.datetime(2024, 1, 1),
+                 "offset": 1, "op": "upsert"}]
+    reg, sid_old, old_frames = _registry_and_frame(old_rows, schema=OLD)
+    from geomesa_nifi_spark.functions.avro import spark_to_avro_schema
+
+    sid_new = reg.register("pages-value", spark_to_avro_schema(VALUE_SCHEMA))
+    assert sid_new != sid_old
+    assert reg.latest("pages-value")[0] == sid_new
+    from geomesa_nifi_spark.functions.avro import _make_nullable_encoder
+
+    encs = [(f.name, _make_nullable_encoder(f.dataType)) for f in VALUE_SCHEMA.fields]
+    body = bytearray()
+    new_row = {"url": "u-new", "warc_ts": dt.datetime(2024, 1, 2),
+               "offset": 2, "text": "fresh", "op": "upsert"}
+    for name, enc in encs:
+        enc(body, new_row.get(name))
+    new_frame = bytes([0]) + sid_new.to_bytes(4, "big") + bytes(body)
+    kafka_rows = [
+        (b"a", old_frames[0], "pages", 0, 1, dt.datetime(2024, 1, 1), 0),
+        (b"b", new_frame, "pages", 0, 2, dt.datetime(2024, 1, 1), 0),
+    ]
+    df = spark.createDataFrame(kafka_rows, KAFKA_RECORD_SCHEMA)
+    out = kafka_records_to_changes(
+        df, VALUE_SCHEMA, value_format="confluent", registry=reg
+    )
+    got = {r["url"]: r for r in out.collect()}
+    assert got["u-old"]["text"] is None
+    assert got["u-new"]["text"] == "fresh"
+
+
+def test_confluent_bad_framing_and_unknown_id(spark):
+    import pytest as _pytest
+
+    from geomesa_nifi_spark.sources.confluent import (
+        InMemorySchemaRegistry,
+        SchemaRegistryError,
+    )
+    from geomesa_nifi_spark.streaming.kafka import KafkaConfigError
+
+    reg, _sid, frames = _registry_and_frame(
+        [{"url": "u1", "warc_ts": dt.datetime(2024, 1, 1), "offset": 1,
+          "text": "x", "op": "upsert"}]
+    )
+    # wrong magic
+    bad = spark.createDataFrame(
+        [(b"k", b"\x01" + frames[0][1:], "pages", 0, 1, dt.datetime(2024, 1, 1), 0)],
+        KAFKA_RECORD_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="not Confluent-framed"):
+        kafka_records_to_changes(
+            bad, VALUE_SCHEMA, value_format="confluent", registry=reg
+        ).collect()
+    # unknown id
+    unk = spark.createDataFrame(
+        [(b"k", b"\x00" + (777).to_bytes(4, "big") + frames[0][5:],
+          "pages", 0, 1, dt.datetime(2024, 1, 1), 0)],
+        KAFKA_RECORD_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="not in registry"):
+        kafka_records_to_changes(
+            unk, VALUE_SCHEMA, value_format="confluent", registry=reg
+        ).collect()
+    # registry is required
+    df = spark.createDataFrame([], KAFKA_RECORD_SCHEMA)
+    with _pytest.raises(KafkaConfigError, match="registry"):
+        kafka_records_to_changes(df, VALUE_SCHEMA, value_format="confluent")
+    # registry itself fails loudly on an empty subject
+    with _pytest.raises(SchemaRegistryError, match="no versions"):
+        InMemorySchemaRegistry().latest("nope")

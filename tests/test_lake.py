@@ -174,3 +174,36 @@ def test_init_schemas_map(spark, tmp_path):
     # idempotent: second call returns the existing tables, no new versions
     again = init_schemas(spark, str(tmp_path / "lake"), specs)
     assert again["pages"].snapshot().version == 0
+
+
+def test_distributed_footer_stats_match_threaded(spark, tmp_path):
+    """Above stats.footer.distribute.threshold, footer/zone-map collection
+    fans out as a Spark job (bulk-commit shape: bootstrap commits the whole
+    table at once); the resulting DataFiles — rows, stats — must be
+    byte-identical to the driver-pool path."""
+    def build(root, props):
+        t = LakeTable.create(
+            spark, root, PAGES, key_col="url", ts_col="warc_ts",
+            num_buckets=8, properties=props,
+        )
+        df = spark.createDataFrame([page(i) for i in range(200)], PAGES)
+        append_only(t, df, batch_id="b0")
+        return t
+
+    t_dist = build(str(tmp_path / "dist"), {"stats.footer.distribute.threshold": "2"})
+    t_pool = build(str(tmp_path / "pool"), {})
+    assert t_dist.last_footer_stats["distributed"] is True
+    assert t_pool.last_footer_stats["distributed"] is False
+    assert t_dist.last_footer_stats["files"] == t_pool.last_footer_stats["files"] > 2
+
+    def norm(t):
+        return sorted(
+            (f.bucket, f.rows, None if f.stats is None else
+             {k: dict(v) for k, v in f.stats.items()})
+            for f in t.snapshot().files
+        )
+
+    assert norm(t_dist) == norm(t_pool)
+    # the distributed-stats table still zone-map-prunes correctly
+    n = t_dist.scan(where=[("warc_ts", ">=", ts(150))]).count()
+    assert n == t_pool.scan(where=[("warc_ts", ">=", ts(150))]).count() == 50
