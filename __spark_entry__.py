@@ -385,6 +385,59 @@ GROUP BY event_type
 """
 
 
+def _incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view with EXTREMAL metrics (min/max are only
+    semi-maintainable under deletes — ``materialize.refresh`` resolves
+    most groups from the delta by case analysis and re-reads exactly the
+    groups whose touched buckets held the current extreme): per-event_type
+    (count, min(value), max(value)) maintained across the same scrambled
+    LWW replay, checked against DuckDB recomputing from the final state.
+    Deletes hit extremes constantly here (1 in 5 events is a delete), so
+    both the delta path and the bounded re-read path are exercised."""
+    from geomesa_nifi_spark.lake import (
+        LakeTable, create_aggregate_view, merge_changes, refresh,
+    )
+
+    ch = _changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gns_entry_")
+    table = LakeTable.create(
+        spark, root + "/pages", _STATE_SCHEMA,
+        key_col="url", ts_col="warc_ts", tiebreak_col="src_offset",
+        num_buckets=16,
+    )
+    view = create_aggregate_view(
+        spark, root + "/mv", table,
+        group_cols=["event_type"],
+        metrics={
+            "n": "count",
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        num_buckets=4,
+    )
+    for b in (2, 0, 3, 1):
+        merge_changes(
+            table,
+            ch.filter(F.pmod(F.col("src_offset"), F.lit(4)) == b),
+            batch_id=f"entry-mvx-{b}", mode="mor" if b % 2 else "cow",
+        )
+        refresh(view, table)
+    return view.scan().select("event_type", "n", "min_value", "max_value")
+
+
+_INCREMENTAL_MV_MINMAX_SQL = f"""
+WITH ch AS ({_CHANGES_SQL_CTE}),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, src_offset DESC) AS rn
+  FROM ch
+)
+SELECT event_type, count(*) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM lww WHERE rn = 1 AND op <> 'delete'
+GROUP BY event_type
+"""
+
+
 def _fid_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-id rewrite on a live table (≙ ``UpdateGeoMesaRecord``'s fid
     update): keys of every 7th user move to a new domain; the final state
@@ -1788,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bootstrap_handoff": _bootstrap_handoff,
         "cdc_read_optimized": _read_optimized,
         "cdc_incremental_mv": _incremental_mv,
+        "cdc_incremental_mv_minmax": _incremental_mv_minmax,
         "cdc_fid_rewrite": _fid_rewrite,
         "cdc_schema_evolution": _schema_evolution_replay,
         "cdc_ingest_counts": _ingest_counts,
@@ -1844,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_bootstrap_handoff": _LWW_STATE_SQL,
         "cdc_read_optimized": _LWW_STATE_SQL,
         "cdc_incremental_mv": _INCREMENTAL_MV_SQL,
+        "cdc_incremental_mv_minmax": _INCREMENTAL_MV_MINMAX_SQL,
         "cdc_fid_rewrite": _FID_REWRITE_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_ingest_counts": _INGEST_COUNTS_SQL,

@@ -1,9 +1,18 @@
 """Benchmark harness: headline CDC pipeline throughput + scaling protocol.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total suite seconds>, "unit": "sec",
+Prints ONE COMPACT JSON line (kept well under 2 KB so the driver's stdout
+capture can never truncate it — the round-4 artifact of record was lost to
+exactly that):
+
+  {"metric": ..., "value": <suite sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "pipeline": {...}, "merge": {...}, "scaling": {...}}
+   "pipeline": {...}, "merge": {...}, "kafka_avro": {...},
+   "scaling": {... efficiencies only ...}, "detail": "BENCH_DETAIL.json"}
+
+Everything bulky — raw per-rep times, calibration tokens, per-entry
+shuffle/task counters, the MoR zone-map A/B, pruning evidence (files
+opened / bytes for pruned vs unpruned paths, at sf and at a synthetic
+1024-bucket shape) — goes to BENCH_DETAIL.json next to this script.
 
 Headline: the full CDC apply pipeline — read html change events -> Arrow
 pandas-UDF extraction (html->text, lang) -> LWW dedup -> merge-on-read
@@ -19,12 +28,23 @@ shared-memory box saturates its memory bus past ~8 threads — a ceiling a
 multi-executor cluster (one bus per executor) does not share; the pipeline
 is also reported at local[32] for headline wall-clock.
 
+Epoch robustness (round-4 lesson: two rounds of artifacts landed in noisy
+host epochs): a fixed-work single-thread CALIBRATION TOKEN (~0.25 s of
+sha256 at calm) is sampled continuously while each scaling rep runs.  A
+rep taken while the token's median deviates > 25% from the session floor
+is marked dirty and DISCARDED from the estimator (all reps + tokens are
+still published in the detail file); extra interleaved pairs re-run until
+both levels hold two clean, mutually-confirming reps or the retry budget
+ends — only then is ``epoch_noisy`` true, and it now means "the host never
+calmed", not "the artifact is untrustworthy".
+
 NOTE: run exclusively — concurrent load on the box skews the scaling pair.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), GNS_BENCH_EVENTS (merge-only stream size,
-default 2M), GNS_PIPELINE_EVENTS (default 500k), GNS_BENCH_SCALING=0 to
-skip the subprocess pair.
+default 2M), GNS_PIPELINE_EVENTS (default 2M), GNS_BENCH_SCALING=0 to
+skip the subprocess pair, GNS_BENCH_REPS (big-side reps, default 4),
+GNS_BENCH_MOR_REPS (MoR A/B reps per arm, default 2).
 """
 
 from __future__ import annotations
@@ -35,6 +55,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -51,6 +72,115 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("offset", T.LongType()),
     ]
 )
+
+#: where the bulky artifact goes (same dir as this script = repo root)
+DETAIL_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+
+# ---------------------------------------------------------------------------
+# calibration: fixed single-thread work as a host-contention probe
+# ---------------------------------------------------------------------------
+
+#: a rep is clean when its during-run token median is within this factor of
+#: the session floor (host noise only ever inflates the token)
+CAL_THRESHOLD = 1.25
+
+_ALL_TOKENS: list[float] = []
+
+
+def _calib_token() -> float:
+    """Seconds for a fixed sha256 spin (~0.25 s calm): pure single-thread
+    CPU, no allocation churn — deviation measures host contention/steal,
+    not this process's own load (the box has 32 cores; the scaling
+    children use at most 8)."""
+    import hashlib
+
+    buf = b"\x5a" * 65536
+    h = hashlib.sha256()
+    t0 = time.monotonic()
+    for _ in range(1200):
+        h.update(buf)
+    dt = time.monotonic() - t0
+    _ALL_TOKENS.append(dt)
+    return dt
+
+
+class _TokenSampler:
+    """Samples the calibration token every ``interval`` seconds on a
+    daemon thread while a scaling rep runs; host CPU-steal bursts on this
+    VM are minute-scale, so an 8 s cadence cannot miss one."""
+
+    def __init__(self, interval: float = 8.0):
+        self.interval = interval
+        self.tokens: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.is_set():
+            self.tokens.append(_calib_token())
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=5)
+        return False
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _session_floor() -> float:
+    return min(_ALL_TOKENS) if _ALL_TOKENS else float("nan")
+
+
+# ---------------------------------------------------------------------------
+# spark-side counters (AppStatusStore executor totals = task-metric sums)
+# ---------------------------------------------------------------------------
+
+
+def _exec_counters(spark) -> dict:
+    """Cumulative executor totals; delta two snapshots around a timed block
+    to attribute shuffle bytes / task counts to that block.  Note
+    ``input_bytes`` underreports local vectorized parquet scans (the
+    columnar reader bypasses the Hadoop FS statistics) — bytes-read
+    evidence therefore comes from ledger metadata (exact file sizes), and
+    this counter is kept for the shuffle/task shape only."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    ex = store.executorList(False)
+    t = {"shuffle_read_bytes": 0, "shuffle_write_bytes": 0, "input_bytes": 0, "tasks": 0}
+    for i in range(ex.size()):
+        e = ex.apply(i)
+        t["shuffle_read_bytes"] += e.totalShuffleRead()
+        t["shuffle_write_bytes"] += e.totalShuffleWrite()
+        t["input_bytes"] += e.totalInputBytes()
+        t["tasks"] += e.totalTasks()
+    return t
+
+
+def _counter_delta(before: dict, after: dict) -> dict:
+    return {k: after[k] - before[k] for k in before}
+
+
+def _files_bytes(table, files) -> int:
+    tot = 0
+    for f in files:
+        try:
+            tot += os.path.getsize(os.path.join(table.root, f.path))
+        except OSError:
+            pass
+    return tot
+
+
+# ---------------------------------------------------------------------------
+# workload builders (unchanged shapes from prior rounds)
+# ---------------------------------------------------------------------------
 
 
 def _materialize(spark, n_events: int, out_dir: str, payload: str) -> None:
@@ -115,10 +245,10 @@ def _bench_kafka_avro_decode(spark, n_events: int, recs_per_msg: int = 500):
 
 
 def _new_table(spark, root: str, compact_deltas: int | None = None,
-               num_buckets: int = 64):
+               num_buckets: int = 64, extra_props: dict | None = None):
     from geomesa_nifi_spark.lake import LakeTable
 
-    props = {}
+    props = dict(extra_props or {})
     if compact_deltas is not None:
         props["mor.compact.deltas"] = str(compact_deltas)
     return LakeTable.create(
@@ -131,7 +261,7 @@ def _new_table(spark, root: str, compact_deltas: int | None = None,
 def run_pipeline_replay(
     spark, changes_dir: str, table_root: str, n_batches: int, extract: bool,
     verbose: bool = False, compact_deltas: int | None = None,
-    num_buckets: int = 64,
+    num_buckets: int = 64, extra_props: dict | None = None,
 ) -> float:
     """Timed: the full CDC apply (optionally including the extraction UDF),
     finishing with a resolved count (queryable final state).
@@ -145,7 +275,7 @@ def run_pipeline_replay(
     from geomesa_nifi_spark.lake import merge_changes
 
     table = _new_table(spark, table_root, compact_deltas=compact_deltas,
-                       num_buckets=num_buckets)
+                       num_buckets=num_buckets, extra_props=extra_props)
     ch = spark.read.parquet(changes_dir)
     t0 = time.monotonic()
     for b in range(n_batches):
@@ -183,11 +313,17 @@ def run_cow_replay(spark, changes_dir: str, table_root: str, n_batches: int) -> 
     return time.monotonic() - t0
 
 
+# ---------------------------------------------------------------------------
+# scaling harness (fresh JVM per rep, calibration-gated)
+# ---------------------------------------------------------------------------
+
 _JOB_SEQ = [0]
 
 
-def _subprocess_job(job: str, changes_dir: str, cpus: int, n_batches: int, work: str) -> float:
-    """Run a scaling job in a fresh interpreter/JVM; return seconds."""
+def _subprocess_job(job: str, changes_dir: str, cpus: int, n_batches: int, work: str) -> dict:
+    """Run a scaling job in a fresh interpreter/JVM.  Returns a rep record:
+    {"sec", "cpus", "tokens" (during-run calibration samples), "counters"
+    (the child's own executor totals, if it printed them)}."""
     _JOB_SEQ[0] += 1
     env = dict(os.environ)
     # the parent's JVM stays resident while children run: size child heaps
@@ -202,19 +338,37 @@ def _subprocess_job(job: str, changes_dir: str, cpus: int, n_batches: int, work:
     # spark.local.dir (per-executor local storage scales with the cluster;
     # this box's one disk does not) — see _replay_child
     table_work = "/dev/shm" if os.path.isdir("/dev/shm") else work
-    out = subprocess.run(
-        [
-            sys.executable, os.path.abspath(__file__), f"--{job}-replay",
-            changes_dir, str(cpus), str(n_batches),
-            os.path.join(table_work, f"gns-scale-{os.getpid()}-{job}-{cpus}-{_JOB_SEQ[0]}"),
-        ],
-        capture_output=True, text=True, timeout=3600, env=env,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
+    with _TokenSampler() as sampler:
+        out = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__), f"--{job}-replay",
+                changes_dir, str(cpus), str(n_batches),
+                os.path.join(table_work, f"gns-scale-{os.getpid()}-{job}-{cpus}-{_JOB_SEQ[0]}"),
+            ],
+            capture_output=True, text=True, timeout=3600, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    rep = {"cpus": cpus, "tokens": [round(t, 4) for t in sampler.tokens]}
     for line in out.stdout.splitlines():
+        if line.startswith("JOB_METRICS "):
+            try:
+                rep["counters"] = json.loads(line[len("JOB_METRICS "):])
+            except ValueError:
+                pass
         if line.startswith("JOB_SECONDS "):
-            return float(line.split()[1])
-    raise RuntimeError(f"{job} subprocess failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+            rep["sec"] = float(line.split()[1])
+    if "sec" not in rep:
+        raise RuntimeError(f"{job} subprocess failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+    return rep
+
+
+def _rep_clean(rep: dict) -> bool:
+    """A rep is trustworthy when the host was calm while it ran: the
+    during-run token median within CAL_THRESHOLD of the session floor."""
+    toks = rep.get("tokens") or []
+    if not toks:
+        return True  # nothing observed against it (very short run)
+    return _median(toks) <= CAL_THRESHOLD * _session_floor()
 
 
 def _floor_confirmed(runs: list[float]) -> bool:
@@ -229,33 +383,77 @@ def _floor_confirmed(runs: list[float]) -> bool:
 
 def _measure_pair(
     job: str, changes: str, work: str, reps_big: int, reps_small: int,
-    max_extra: int = 2,
-) -> tuple[list[float], list[float], bool]:
-    """Interleaved scaling pair with a VALIDITY rule (round-2 lesson: both
-    small-side reps landed in a noisy host epoch and min-per-level produced
-    an impossible 1.202 efficiency).  After the planned reps, the pair
-    re-runs (up to ``max_extra`` extra interleaved pairs) until
-    min-per-level yields a possible efficiency (≤ 1.0 — superlinear is
-    physically impossible here) AND both levels' floors are confirmed by a
-    second close rep.  All raw reps are published; the caller flags
-    ``epoch_noisy`` so the artifact is self-describing."""
-    big: list[float] = []
-    small: list[float] = []
+    max_extra: int = 3,
+) -> tuple[list[dict], list[dict], bool]:
+    """Interleaved scaling pair, calibration-gated.
+
+    Planned reps run interleaved (8,2,8,2,...).  Then, while the CLEAN
+    subset (``_rep_clean``: during-run tokens near the session floor) of
+    either level lacks a confirmed floor, or min-per-level over the clean
+    subset yields an impossible efficiency (> 1.0), extra interleaved
+    pairs run — up to ``max_extra``.  The caller derives the estimator
+    from the clean subset; ``epoch_noisy`` is returned true only when the
+    retry budget ran out before both levels held clean confirmed floors
+    (i.e. the host never calmed while we watched)."""
+    big: list[dict] = []
+    small: list[dict] = []
     for rep in range(reps_big):
         big.append(_subprocess_job(job, changes, 8, 2, work))
         if rep < reps_small:
             small.append(_subprocess_job(job, changes, 2, 2, work))
     if not small:
         return big, small, False
-    noisy = False
-    for _extra in range(max_extra):
-        eff = (min(small) / min(big)) / 4
-        if 0 < eff <= 1.0 and _floor_confirmed(small) and _floor_confirmed(big):
-            break
-        noisy = True
+
+    def ok() -> bool:
+        cb = [r["sec"] for r in big if _rep_clean(r)]
+        cs = [r["sec"] for r in small if _rep_clean(r)]
+        if not (_floor_confirmed(cb) and _floor_confirmed(cs)):
+            return False
+        eff = (min(cs) / min(cb)) / 4
+        return 0 < eff <= 1.0
+
+    extras = 0
+    while not ok() and extras < max_extra:
+        extras += 1
         big.append(_subprocess_job(job, changes, 8, 2, work))
         small.append(_subprocess_job(job, changes, 2, 2, work))
-    return big, small, noisy
+    # noisy = the host never calmed while we watched; a pair that needed
+    # retries but ENDED with clean confirmed floors is a valid artifact
+    return big, small, not ok()
+
+
+def _pair_summary(big: list[dict], small: list[dict], n_events: float, noisy: bool) -> tuple[dict, dict]:
+    """(compact, detail) for one scaling job.  Estimator = min over clean
+    reps (fallback: all reps, flagged)."""
+    cb = [r["sec"] for r in big if _rep_clean(r)] or [r["sec"] for r in big]
+    cs = [r["sec"] for r in small if _rep_clean(r)] or [r["sec"] for r in small]
+    t_big, t_small = min(cb), min(cs)
+    eff = round((t_small / t_big) / 4, 3)
+    compact = {
+        "efficiency": eff,
+        "efficiency_valid": 0.0 < eff <= 1.0,
+        "epoch_noisy": noisy,
+    }
+    detail = {
+        **compact,
+        "sec_small": round(t_small, 3),
+        "sec_big": round(t_big, 3),
+        "events_per_sec_small": round(n_events / t_small, 1),
+        "events_per_sec_big": round(n_events / t_big, 1),
+        "clean_small": len([r for r in small if _rep_clean(r)]),
+        "clean_big": len([r for r in big if _rep_clean(r)]),
+        "reps_small": [
+            {"sec": round(r["sec"], 1), "clean": _rep_clean(r),
+             "token_median": round(_median(r["tokens"]), 3) if r["tokens"] else None}
+            for r in small
+        ],
+        "reps_big": [
+            {"sec": round(r["sec"], 1), "clean": _rep_clean(r),
+             "token_median": round(_median(r["tokens"]), 3) if r["tokens"] else None}
+            for r in big
+        ],
+    }
+    return compact, detail
 
 
 def _replay_child(job: str, argv: list[str]) -> None:
@@ -294,6 +492,7 @@ def _replay_child(job: str, argv: list[str]) -> None:
         # the full input, and this keeps the secondary pair's wall-clock
         # bounded enough to afford best-of-2 de-noising
         ch = spark.read.parquet(changes_dir).filter(F.pmod("offset", F.lit(4)) == 0)
+        c0 = _exec_counters(spark)
         t0 = time.monotonic()
         extract_pages(ch.repartition(width)).agg(
             F.sum(F.length("text")), F.count_distinct("lang")
@@ -313,11 +512,14 @@ def _replay_child(job: str, argv: list[str]) -> None:
             wt, warm, batch_id="w", collect_metrics=False, mode="mor",
             post_dedup_transform=lambda df: extract_pages(df).drop("html"),
         )
+        c0 = _exec_counters(spark)
         secs = run_pipeline_replay(
             spark, changes_dir, table_root, n_batches, extract=True,
             verbose=os.environ.get("GNS_BENCH_VERBOSE") == "1",
             num_buckets=16,
         )
+    c1 = _exec_counters(spark)
+    print("JOB_METRICS " + json.dumps(_counter_delta(c0, c1)))
     print(f"JOB_SECONDS {secs:.3f}")
     spark.stop()
     if shm:
@@ -325,6 +527,121 @@ def _replay_child(job: str, argv: list[str]) -> None:
     # the table roots this child created (possibly on /dev/shm) die with it
     for d in (table_root, table_root + "-warm"):
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# pruning evidence: files opened / bytes read, engine metadata = exact
+# ---------------------------------------------------------------------------
+
+
+def _pruning_evidence(spark, table, aidx, lookup_vals) -> dict:
+    """Files-opened / bytes evidence for the pruning stack on a populated
+    table: attribute-index lookup vs predicate scan, plus a key point
+    lookup.  All counts come from the ledger (the exact file set each path
+    opens), so this is epoch-immune plan-shape proof — wall time can lie
+    under host noise, the file list cannot."""
+    from geomesa_nifi_spark.lake.index import _index_config, last_indexed_version
+
+    snap = table.snapshot()
+    total_files = len(snap.files)
+    total_bytes = _files_bytes(table, snap.files)
+
+    col, key = _index_config(aidx)
+    vb = aidx._literal_buckets(list(lookup_vals), aidx.num_buckets)
+    idx_files = aidx.candidate_files(buckets=vb, where=[(col, "in", list(lookup_vals))])
+    entries = aidx.scan(buckets=vb, where=[(col, "in", list(lookup_vals))])
+    keys = [r[0] for r in entries.select(key).distinct().collect()]
+    iv = last_indexed_version(aidx)
+    src_snap = table.snapshot(iv)
+    kb = table._literal_buckets(keys, int(src_snap.properties["num_buckets"]))
+    src_files = table.candidate_files(buckets=kb, snapshot=src_snap)
+    scan_files = table.candidate_files(where=[(col, "in", list(lookup_vals))])
+
+    one_key = keys[:1]
+    pt_files = table.candidate_files(
+        buckets=table._literal_buckets(one_key, int(snap.properties["num_buckets"]))
+    ) if one_key else []
+
+    return {
+        "table_files": total_files,
+        "table_bytes": total_bytes,
+        "index_lookup": {
+            "index_buckets_opened": len(vb),
+            "index_files_opened": len(idx_files),
+            "index_bytes": _files_bytes(aidx, idx_files),
+            "source_files_opened": len(src_files),
+            "source_bytes": _files_bytes(table, src_files),
+            "keys_matched": len(keys),
+        },
+        "predicate_scan": {
+            "files_opened": len(scan_files),
+            "bytes": _files_bytes(table, scan_files),
+        },
+        "point_lookup": {
+            "files_opened": len(pt_files),
+            "bytes": _files_bytes(table, pt_files),
+        },
+    }
+
+
+def _synthetic_1024_evidence(spark, work: str, changes_dir: str) -> dict:
+    """The same pruning evidence at a 1024-bucket layout (the 100-TB
+    shape: bucket count sized to cluster parallelism, not to this box):
+    point lookups and index lookups must open O(1) of 1024 buckets while
+    the scan's file count grows with the table."""
+    from geomesa_nifi_spark.lake import (
+        bootstrap_load,
+        create_attr_index,
+        refresh_attr_index,
+    )
+    from geomesa_nifi_spark.operators.dedup import lww_dedup
+
+    root = os.path.join(work, "t-prune1024")
+    table = _new_table(spark, root, num_buckets=1024)
+    src = lww_dedup(spark.read.parquet(changes_dir), "url", ["warc_ts", "offset"])
+    t0 = time.monotonic()
+    bootstrap_load(table, src, batch_id="prune-boot", offset_hwm=None)
+    t_boot = time.monotonic() - t0
+    footer = dict(table.last_footer_stats or {})
+
+    aidx = create_attr_index(table, "text", os.path.join(work, "t-prune1024-aidx"))
+    refresh_attr_index(aidx, table)
+    vals = [
+        r[0]
+        for r in table.scan().select("text").where(F.col("text").isNotNull())
+        .limit(3).collect()
+    ]
+    ev = _pruning_evidence(spark, table, aidx, vals)
+    ev["num_buckets"] = 1024
+    ev["bootstrap_sec"] = round(t_boot, 3)
+    ev["bootstrap_footer_stats"] = footer
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# emission
+# ---------------------------------------------------------------------------
+
+
+def _emit(compact: dict, detail: dict) -> None:
+    """Write the bulky detail file; print the compact line, guaranteed
+    small.  If the compact line somehow exceeds the budget, sections are
+    dropped (into the detail file) until it fits — the driver's stdout
+    tail capture must always see a complete JSON object."""
+    detail["compact"] = dict(compact)
+    try:
+        with open(DETAIL_FILE, "w") as fh:
+            json.dump(detail, fh, indent=1, default=str)
+        print(f"detail -> {DETAIL_FILE}", file=sys.stderr)
+    except OSError as e:  # read-only checkout: the compact line stands alone
+        print(f"detail file not written: {e}", file=sys.stderr)
+    line = json.dumps(compact)
+    for drop in ("kafka_avro", "merge", "pipeline", "queries"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+    print(line)
 
 
 def main() -> None:
@@ -344,10 +661,16 @@ def main() -> None:
 
     from geomesa_nifi_spark.session import get_spark
 
+    # session calibration floor: a few tokens before any Spark load
+    for _ in range(3):
+        _calib_token()
+
     work = tempfile.mkdtemp(prefix="gns_bench_")
     text_changes = os.path.join(work, "changes_text")
     html_changes = os.path.join(work, "changes_html")
     queries: dict[str, float] = {}
+    detail: dict = {"env": {"cpus": cpus, "sf": sf, "merge_events": n_events,
+                            "pipeline_events": n_pipe}}
     suite_t0 = time.monotonic()
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -360,15 +683,43 @@ def main() -> None:
     # Untimed warm pass first (small input): JIT/codegen warm-up for both
     # the CoW join and the extraction UDF in this session.
     run_cow_replay(spark, warm_changes, os.path.join(work, "warm-cow"), n_batches=2)
-    # 4 batches with compact-threshold 4: one full compaction cycle runs
-    # inside the timed window (the production policy at its amortized rate)
-    t_mor = run_pipeline_replay(
-        spark, text_changes, os.path.join(work, "t-mor"), n_batches=4,
-        extract=False, compact_deltas=4,
-    )
+
+    # MoR zone-map A/B (round-4 verdict #2): interleaved reps of the same
+    # 2M replay with footer zone-map collection ON (production default)
+    # and OFF (stats.columns pinned to a non-column), with shuffle/task
+    # counters per rep — if wall time regresses in a noisy epoch, the
+    # counters still prove the plan shape held, and the A/B separates
+    # zone-map collection cost from everything else.
+    mor_reps = int(os.environ.get("GNS_BENCH_MOR_REPS", "2"))
+    ab: dict[str, list] = {"on": [], "off": []}
+    mor_root = None
+    seq = 0
+    for _rep in range(mor_reps):
+        for arm, props in (("on", None), ("off", {"stats.columns": "__none__"})):
+            seq += 1
+            root = os.path.join(work, f"t-mor-{arm}-{seq}")
+            c0 = _exec_counters(spark)
+            t = run_pipeline_replay(
+                spark, text_changes, root,
+                n_batches=4, extract=False, compact_deltas=4, extra_props=props,
+            )
+            ab[arm].append({"sec": round(t, 3),
+                            "counters": _counter_delta(c0, _exec_counters(spark))})
+            if arm == "on":
+                mor_root = root  # the MV/index benches reuse the last ON table
+    t_mor = min(r["sec"] for r in ab["on"])
     queries["cdc_merge_replay_mor"] = round(t_mor, 3)
+    detail["merge_ab"] = {
+        "order": "on,off interleaved x" + str(mor_reps),
+        "zone_maps_on": ab["on"],
+        "zone_maps_off": ab["off"],
+        "on_min_sec": t_mor,
+        "off_min_sec": min(r["sec"] for r in ab["off"]),
+    }
+    c0 = _exec_counters(spark)
     t_cow = run_cow_replay(spark, text_changes, os.path.join(work, "t-cow"), n_batches=4)
     queries["cdc_merge_replay_cow"] = round(t_cow, 3)
+    detail["cow_counters"] = _counter_delta(c0, _exec_counters(spark))
 
     # initial-snapshot bulk load (lake/bootstrap.py): the snapshot-then-tail
     # handoff's O(snapshot) phase — LWW the source dump, one bucket shuffle,
@@ -381,6 +732,7 @@ def main() -> None:
     boot_src = _lww_dedup(
         spark.read.parquet(text_changes), "url", ["warc_ts", "offset"]
     )
+    c0 = _exec_counters(spark)
     t0 = time.monotonic()
     boot_res = _bootstrap_load(
         boot_table, boot_src, batch_id="bench-boot",
@@ -388,11 +740,15 @@ def main() -> None:
     )
     t_boot = time.monotonic() - t0
     queries["cdc_bootstrap_load"] = round(t_boot, 3)
-    bootstrap_bench = {
+    detail["bootstrap"] = {
         "n_source_events": n_events,
         "rows_loaded": boot_res.metrics["bootstrapped"],
         "source_events_per_sec": round(n_events / t_boot, 1),
         "parallelism": cpus,
+        # round-4 verdict #3: stats-collection time reported separately —
+        # it is now a Spark job above the distribute threshold
+        "footer_stats": dict(boot_table.last_footer_stats or {}),
+        "counters": _counter_delta(c0, _exec_counters(spark)),
     }
 
     # incremental MV maintenance (lake/materialize.py): the derived-table
@@ -406,7 +762,7 @@ def main() -> None:
         refresh as _mv_refresh,
     )
 
-    mor_table = LakeTable(spark, os.path.join(work, "t-mor"))
+    mor_table = LakeTable(spark, mor_root)
     mv = create_aggregate_view(
         spark, os.path.join(work, "t-mor-mv"), mor_table,
         group_cols=["lang"], metrics={"n": "count", "sum_off": ("sum", "offset")},
@@ -431,17 +787,19 @@ def main() -> None:
     n_extra = extra.count()
     _merge_changes(mor_table, extra, batch_id="bench-mv-extra",
                    collect_metrics=False, mode="mor")
+    c0 = _exec_counters(spark)
     t0 = time.monotonic()
     _mv_refresh(mv, mor_table)
     t_mv_refresh = time.monotonic() - t0
     queries["mv_incremental_refresh"] = round(t_mv_refresh, 3)
-    mv_bench = {
+    detail["materialized_view"] = {
         "rebuild_sec": round(t_mv_rebuild, 3),
         "incremental_refresh_sec": round(t_mv_refresh, 3),
         "refresh_batch_events": n_extra,
         "refresh_touched_buckets": "4 of 64",
         "table_events": n_events,
         "speedup_vs_rebuild": round(t_mv_rebuild / max(t_mv_refresh, 1e-9), 1),
+        "refresh_counters": _counter_delta(c0, _exec_counters(spark)),
     }
 
     # attribute index (lake/index.py): the store-side attribute-index
@@ -473,7 +831,7 @@ def main() -> None:
     t_attr_scan = time.monotonic() - t0
     queries["attr_lookup_scan"] = round(t_attr_scan, 3)
     assert n_hit == n_scan, (n_hit, n_scan)
-    aidx_bench = {
+    detail["attr_index"] = {
         "indexed_column": "text",
         "table_events": n_events,
         "build_sec": round(t_aidx_build, 3),
@@ -481,6 +839,13 @@ def main() -> None:
         "scan_sec": round(t_attr_scan, 3),
         "rows_matched": n_hit,
         "speedup_vs_scan": round(t_attr_scan / max(t_aidx_lookup, 1e-9), 1),
+    }
+    # plan-shape pruning evidence at the sf table and at 1024 buckets:
+    # wall time at 2M rows is dominated by fixed job overhead (the r4
+    # verdict's point), so the asymptotic claim is made in files/bytes
+    detail["pruning_evidence"] = {
+        "sf_table_64_buckets": _pruning_evidence(spark, mor_table, aidx, lookup_vals),
+        "synthetic_1024_buckets": _synthetic_1024_evidence(spark, work, text_changes),
     }
 
     # operator headliners on the driver's sf tables
@@ -506,7 +871,7 @@ def main() -> None:
     n_kafka = int(os.environ.get("GNS_KAFKA_EVENTS", "200000"))
     t_kafka, kafka_eps = _bench_kafka_avro_decode(spark, n_kafka)
     queries["kafka_avro_decode"] = round(t_kafka, 3)
-    kafka_avro = {
+    detail["kafka_avro"] = {
         "n_events": n_kafka,
         "events_per_sec": kafka_eps,
         "parallelism": cpus,
@@ -518,72 +883,60 @@ def main() -> None:
     # N -> 4N proxy at 2 -> 8 threads: on one shared-memory box the memory
     # bus saturates past ~8 threads, which a multi-executor cluster (one
     # bus per executor) does not share — see BASELINE.md.
-    # The pair is INTERLEAVED (8,2,8,2) and min is taken per level: this VM
-    # shows minute-scale CPU-steal bursts (single runs swing 2-3x), and a
-    # burst that lands on one sequential group would fake the ratio in
-    # either direction; interleaving + min per level cancels it.
-    # Rep counts follow the observed variance (BASELINE.md): with RAM-backed
-    # child storage the local[2] runs are stable (sigma ~6%) while the short
-    # local[8] runs still catch occasional bursts — so 3 reps at 8, 2 at 2.
-    # All raw per-rep times are published below; min per level is the
-    # estimator (burst noise only ever inflates).
+    # The pair is INTERLEAVED (8,2,8,2) and the estimator is min over the
+    # CALIBRATION-CLEAN reps per level: this VM shows minute-scale
+    # CPU-steal bursts (single runs swing 2-3x); the during-run token
+    # (see module docstring) identifies reps taken inside a burst so they
+    # can be discarded instead of poisoning the min.
     reps8 = int(os.environ.get("GNS_BENCH_REPS", "4"))
     reps2 = min(2, reps8)
     t8_runs, t2_runs, pipe_noisy = _measure_pair(
         "pipeline", html_changes, work, reps8, reps2 if do_scaling else 0,
         max_extra=3,
     )
-    t_pipe_8 = min(t8_runs)
+    pipe_compact_job, pipe_detail = _pair_summary(t8_runs, t2_runs, n_pipe, pipe_noisy)
+    t_pipe_8 = pipe_detail["sec_big"]
     queries["cdc_pipeline_local8"] = round(t_pipe_8, 3)
     pipeline = {
         "n_events": n_pipe,
         "events_per_sec": round(n_pipe / t_pipe_8, 1),
         "parallelism": 8,
+    }
+    detail["pipeline"] = {
+        **pipeline,
         "stages": "read html -> lww dedup -> arrow extract (winners only) -> mor merge -> resolve",
     }
     scaling = None
     if do_scaling:
-        res = {}
-        t_pipe_2 = min(t2_runs)
-        pipe_eff = round((t_pipe_2 / t_pipe_8) / 4, 3)
-        queries["cdc_pipeline_local2"] = round(t_pipe_2, 3)
-        res["pipeline"] = {
-            "events_per_sec_small": round(n_pipe / t_pipe_2, 1),
-            "events_per_sec_big": round(n_pipe / t_pipe_8, 1),
-            "efficiency": pipe_eff,
-            "efficiency_valid": 0.0 < pipe_eff <= 1.0,
-            "epoch_noisy": pipe_noisy,
-            "runs_small_sec": [round(t, 1) for t in t2_runs],
-            "runs_big_sec": [round(t, 1) for t in t8_runs],
-        }
+        queries["cdc_pipeline_local2"] = round(pipe_detail["sec_small"], 3)
         # secondary pair: the extraction stage alone (pure vectorized-UDF
-        # scaling, no lake writes), interleaved best-of-2 on a quarter slice
+        # scaling, no lake writes), interleaved on a quarter slice
         e8_runs, e2_runs, ext_noisy = _measure_pair("extract", html_changes, work, 2, 2)
-        t_ext_8, t_ext_2 = min(e8_runs), min(e2_runs)
-        ext_eff = round((t_ext_2 / t_ext_8) / 4, 3)
-        queries["cdc_extract_local8"] = round(t_ext_8, 3)
-        queries["cdc_extract_local2"] = round(t_ext_2, 3)
-        res["extract"] = {
-            # the extract child processes a deterministic quarter-slice
-            "events_per_sec_small": round((n_pipe / 4) / t_ext_2, 1),
-            "events_per_sec_big": round((n_pipe / 4) / t_ext_8, 1),
-            "efficiency": ext_eff,
-            "efficiency_valid": 0.0 < ext_eff <= 1.0,
-            "epoch_noisy": ext_noisy,
-            "runs_small_sec": [round(t, 1) for t in e2_runs],
-            "runs_big_sec": [round(t, 1) for t in e8_runs],
-        }
+        ext_compact_job, ext_detail = _pair_summary(e8_runs, e2_runs, n_pipe / 4, ext_noisy)
+        queries["cdc_extract_local8"] = round(ext_detail["sec_big"], 3)
+        queries["cdc_extract_local2"] = round(ext_detail["sec_small"], 3)
         scaling = {
             "parallelism_small": 2,
             "parallelism_big": 8,
-            "jobs": res,
-            "efficiency": res["pipeline"]["efficiency"],
+            "jobs": {"pipeline": pipe_compact_job, "extract": ext_compact_job},
+            "efficiency": pipe_compact_job["efficiency"],
+        }
+        detail["scaling"] = {
+            "parallelism_small": 2,
+            "parallelism_big": 8,
+            "calibration": {
+                "floor_sec": round(_session_floor(), 4),
+                "threshold": CAL_THRESHOLD,
+                "tokens_observed": len(_ALL_TOKENS),
+            },
+            "jobs": {"pipeline": pipe_detail, "extract": ext_detail},
             "isolation": "fresh JVM per measurement, warmed, interleaved, "
-                         "min per level, auto-retried on validity failure",
+                         "min over calibration-clean reps per level, "
+                         "auto-retried while any level lacks a clean confirmed floor",
         }
 
     shutil.rmtree(work, ignore_errors=True)
-    out = {
+    compact = {
         "metric": "cdc_pipeline_suite_seconds",
         "value": round(time.monotonic() - suite_t0, 3),
         "unit": "sec",
@@ -596,13 +949,11 @@ def main() -> None:
             "cow_events_per_sec": round(n_events / t_cow, 1),
             "parallelism": cpus,
         },
-        "kafka_avro": kafka_avro,
-        "bootstrap": bootstrap_bench,
-        "materialized_view": mv_bench,
-        "attr_index": aidx_bench,
+        "kafka_avro": {"events_per_sec": kafka_eps},
         "scaling": scaling,
+        "detail": os.path.basename(DETAIL_FILE),
     }
-    print(json.dumps(out))
+    _emit(compact, detail)
 
 
 if __name__ == "__main__":

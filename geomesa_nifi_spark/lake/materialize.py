@@ -29,13 +29,20 @@ How a refresh works (versions ``(from_v, to_v]`` of the source):
    as any other CDC batch (``batch_id = mv:<from_v>-><to_v>``, LWW
    ordered by the refreshed source version).
 
-Supported aggregates: ``count`` (count(*)) and ``sum(col)`` — the
-self-maintainable (distributive) ones; averages derive as sum/count at
-read time.  min/max are NOT maintainable from deltas without re-scanning
-whole groups (a group is not bucket-local) and are deliberately out of
-scope.  Float sums accumulate incrementally and may drift from a fresh
-recompute by floating-point reassociation — use integral metrics where
-bit-exact parity matters, or ``rebuild()`` periodically.
+Supported aggregates: ``count`` (count(*)), ``sum(col)`` (averages
+derive as sum/count at read time), and ``min(col)`` / ``max(col)``.
+count/sum are self-maintainable (distributive): the delta alone updates
+them.  min/max are only SEMI-maintainable under deletes — the refresh
+resolves most groups from the delta by case analysis (a new extreme
+always wins; an extreme that provably lives outside the touched buckets
+stands), and for exactly the groups where a touched bucket held a copy
+of the current extreme and the post-image no longer reaches it, it
+re-reads those groups from the source (one scan filtered to the
+affected group keys, broadcast-joined — bounded by the diff, never by
+the table; see ``_EXTREMAL_NOTE`` in ``refresh``).  Float sums
+accumulate incrementally and may drift from a fresh recompute by
+floating-point reassociation — use integral metrics where bit-exact
+parity matters, or ``rebuild()`` periodically.
 
 Retention contract (mirrors ``streaming/changes.py``): a refresh whose
 range reaches past snapshots expired by ``expire_snapshots`` raises
@@ -82,6 +89,13 @@ class MaterializeRetentionError(RuntimeError):
     current state."""
 
 
+#: orderable source types min/max accepts (the zone-map comparable set)
+_ORDERABLE = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+    T.DoubleType, T.DecimalType, T.StringType, T.TimestampType, T.DateType,
+)
+
+
 def _metric_field(source_schema: T.StructType, name: str, spec) -> T.StructField:
     kind, col = spec
     if kind == "count":
@@ -95,7 +109,14 @@ def _metric_field(source_schema: T.StructType, name: str, spec) -> T.StructField
         if isinstance(dt, T.DecimalType):
             return T.StructField(name, T.DecimalType(38, dt.scale), True)
         raise ValueError(f"sum({col}): unsupported type {dt.simpleString()}")
-    raise ValueError(f"unknown aggregate kind '{kind}' (use 'count' or 'sum')")
+    if kind in ("min", "max"):
+        dt = source_schema[col].dataType
+        if not isinstance(dt, _ORDERABLE):
+            raise ValueError(f"{kind}({col}): unorderable type {dt.simpleString()}")
+        return T.StructField(name, dt, True)
+    raise ValueError(
+        f"unknown aggregate kind '{kind}' (use 'count', 'sum', 'min' or 'max')"
+    )
 
 
 def _parse_metrics(metrics: dict) -> dict[str, tuple[str, str | None]]:
@@ -104,10 +125,16 @@ def _parse_metrics(metrics: dict) -> dict[str, tuple[str, str | None]]:
     for name, spec in metrics.items():
         if spec == "count":
             out[name] = ("count", None)
-        elif isinstance(spec, (tuple, list)) and len(spec) == 2 and spec[0] == "sum":
-            out[name] = ("sum", spec[1])
+        elif (
+            isinstance(spec, (tuple, list))
+            and len(spec) == 2
+            and spec[0] in ("sum", "min", "max")
+        ):
+            out[name] = (spec[0], spec[1])
         else:
-            raise ValueError(f"metric {name!r}: spec must be 'count' or ('sum', col)")
+            raise ValueError(
+                f"metric {name!r}: spec must be 'count' or (sum|min|max, col)"
+            )
     if not any(k == "count" for k, _ in out.values()):
         raise ValueError("metrics must include a 'count' entry (group liveness)")
     return out
@@ -146,8 +173,8 @@ def create_aggregate_view(
         if c not in src_names:
             raise ValueError(f"group column '{c}' not in source schema")
     for name, (kind, col) in canon.items():
-        if kind == "sum" and col not in src_names:
-            raise ValueError(f"metric {name}=sum({col}): column not in source")
+        if kind != "count" and col not in src_names:
+            raise ValueError(f"metric {name}={kind}({col}): column not in source")
     fields = [
         T.StructField(MV_KEY, T.StringType(), False),
         *[src_schema[c] for c in group_cols],
@@ -251,16 +278,32 @@ def _touched_in_range(
     return touched, any_data
 
 
+def _split_metrics(metrics) -> tuple[dict, dict]:
+    """(additive count/sum, extremal min/max) partitions of the spec."""
+    additive = {n: s for n, s in metrics.items() if s[0] in ("count", "sum")}
+    extremal = {n: s for n, s in metrics.items() if s[0] in ("min", "max")}
+    return additive, extremal
+
+
 def _contributions(
     df: DataFrame, weight: int, group_cols: list[str], metrics
 ) -> DataFrame:
+    """Signed contribution rows for the pre(-1)/post(+1) union: additive
+    metrics carry their weighted value; extremal metrics carry the raw
+    source value plus the side marker ``_w`` so the single delta
+    aggregation can compute per-side min/max without a second shuffle."""
+    additive, extremal = _split_metrics(metrics)
     cols = [F.col(c) for c in group_cols]
     mcols = []
-    for name, (kind, col) in metrics.items():
+    for name, (kind, col) in additive.items():
         if kind == "count":
             mcols.append(F.lit(weight).cast("long").alias(name))
         else:
             mcols.append((F.col(col) * F.lit(weight)).alias(name))
+    for name, (_kind, col) in extremal.items():
+        mcols.append(F.col(col).alias(f"_v_{name}"))
+    if extremal:
+        mcols.append(F.lit(weight).alias("_w"))
     return df.select(*cols, *mcols)
 
 
@@ -343,17 +386,30 @@ def refresh(
             return df
 
         pre, post = _pad(pre), _pad(post)
+        additive, extremal = _split_metrics(metrics)
         contrib = _contributions(post, +1, group_cols, metrics).unionByName(
             _contributions(pre, -1, group_cols, metrics)
         )
         aggs = []
-        for name, (kind, col) in metrics.items():
+        for name in additive:
             aggs.append(F.coalesce(F.sum(name), F.lit(0)).alias(f"_d_{name}"))
+        for name, (kind, _col) in extremal.items():
+            side = F.min if kind == "min" else F.max
+            # per-side extremes inside the touched buckets: the case
+            # analysis below needs both images, one shuffle computes both
+            aggs.append(side(F.when(F.col("_w") == 1, F.col(f"_v_{name}"))).alias(f"_post_{name}"))
+            aggs.append(side(F.when(F.col("_w") == -1, F.col(f"_v_{name}"))).alias(f"_pre_{name}"))
         delta = contrib.groupBy(*group_cols).agg(*aggs)
-        # groups with an all-zero delta are untouched (cancelled pairs)
+        # groups whose tracked aggregates are identical pre/post are
+        # untouched (cancelled pairs / value-neutral rewrites) — for
+        # extremal metrics "identical within the touched buckets + an
+        # unchanged rest of the table" implies the view row is unchanged
         nonzero = None
-        for name in metrics:
+        for name in additive:
             c = F.col(f"_d_{name}") != 0
+            nonzero = c if nonzero is None else (nonzero | c)
+        for name in extremal:
+            c = ~F.col(f"_pre_{name}").eqNullSafe(F.col(f"_post_{name}"))
             nonzero = c if nonzero is None else (nonzero | c)
         # the delta feeds three consumers (emptiness probe, bucket collect,
         # the merge source) — materialize it once; it is aggregate-sized
@@ -380,6 +436,7 @@ def refresh(
 
     # current view rows for the touched groups: bucket-pruned by the
     # delta's own keys (collect ≤ num_buckets ints, driver-safe)
+    additive, extremal = _split_metrics(metrics)
     dk = delta.select(
         view.bucket_expr(key=F.col(MV_KEY)).alias("_b")
     ).distinct()
@@ -389,36 +446,126 @@ def refresh(
     )
     joined = delta.join(cur, on=MV_KEY, how="left")
 
-    new_cols: list[F.Column] = [F.col(MV_KEY)]
-    new_cols += [F.col(c) for c in group_cols]
     count_name = next(n for n, (k, _) in metrics.items() if k == "count")
     view_schema = view.schema()
-    for name in metrics:
+    old_count = F.coalesce(F.col(f"_old_{count_name}"), F.lit(0))
+    new_count = old_count + F.col(f"_d_{count_name}")
+    is_new = F.col(f"_old_{count_name}").isNull()
+
+    new_cols: list[F.Column] = [F.col(MV_KEY)]
+    new_cols += [F.col(c) for c in group_cols]
+    for name in additive:
         dt = view_schema[name].dataType
         new_cols.append(
             (F.coalesce(F.col(f"_old_{name}"), F.lit(0)) + F.col(f"_d_{name}"))
             .cast(dt)
             .alias(name)
         )
+    # _EXTREMAL_NOTE — min/max case analysis per group (min shown; max is
+    # the mirror).  pre/post = the extreme inside the TOUCHED buckets'
+    # pre/post image; old = the view's current (global) extreme.
+    #   new group            -> post (all its rows are in the post image)
+    #   pre null or pre>old  -> the global extreme lives OUTSIDE the
+    #                           touched buckets and still stands:
+    #                           least(old, post)
+    #   post <= old          -> a new-or-equal extreme in the post image
+    #                           beats anything outside: post
+    #   otherwise            -> a touched bucket held a copy of the global
+    #                           extreme (pre == old; pre < old is a
+    #                           defensive impossibility) and the post
+    #                           image no longer reaches it — the rest of
+    #                           the table may hold anything in
+    #                           (old, post): RE-READ the group.
+    rr_flags: list[F.Column] = []
+    for name, (kind, _col) in extremal.items():
+        pre_x, post_x = F.col(f"_pre_{name}"), F.col(f"_post_{name}")
+        old_x = F.col(f"_old_{name}")
+        better = (lambda a, b: a < b) if kind == "min" else (lambda a, b: a > b)
+        fold = F.least if kind == "min" else F.greatest
+        rr = (
+            (~is_new)
+            & pre_x.isNotNull()
+            & ~better(old_x, pre_x)          # pre <= old (min) / pre >= old (max)
+            & (post_x.isNull() | better(old_x, post_x))  # post misses old
+            & (new_count > 0)                # vanished groups delete anyway
+        )
+        rr_flags.append(rr)
+        new_cols.append(
+            F.when(is_new, post_x)
+            .when(pre_x.isNull() | better(old_x, pre_x), fold(old_x, post_x))
+            .otherwise(post_x)
+            .cast(view_schema[name].dataType)
+            .alias(name)
+        )
     new_cols.append(F.lit(to_v).cast("long").alias(MV_VERSION))
     new_cols.append(
-        F.when(
-            (F.coalesce(F.col(f"_old_{count_name}"), F.lit(0)) + F.col(f"_d_{count_name}")) <= 0,
-            F.lit("delete"),
-        )
+        F.when(new_count <= 0, F.lit("delete"))
         .otherwise(F.lit("upsert"))
         .alias("op")
     )
-    rows = joined.select(*new_cols)
+    rr_any = F.lit(False)
+    for rr in rr_flags:
+        rr_any = rr_any | rr
+    rows = joined.select(*new_cols, rr_any.alias("_rr"))
+    out_names = (
+        [MV_KEY] + list(group_cols) + list(additive) + list(extremal)
+        + [MV_VERSION, "op"]
+    )
+
+    reread_groups = 0
+    persisted = None
+    if extremal:
+        # bounded re-read: exactly the groups whose extreme was (possibly)
+        # removed.  One source scan at to_v restricted to those groups by
+        # a BROADCAST join on the group-key hash (the flagged-key frame is
+        # aggregate-sized, never collected row-wise to the driver) — cost
+        # scales with the affected groups' row share, never with the
+        # diff-free rest of the table, and zone maps on grouped columns
+        # still prune the scan.
+        persisted = rows.persist()
+        rr_keys = persisted.filter("_rr").select(MV_KEY)
+        reread_groups = rr_keys.count()
+        if reread_groups:
+            src_now = (
+                source.scan(version=to_v)
+                .withColumn(MV_KEY, _mv_key_expr(group_cols))
+                .join(F.broadcast(rr_keys), on=MV_KEY, how="inner")
+            )
+            re_aggs = []
+            for name, (kind, col) in extremal.items():
+                side = F.min if kind == "min" else F.max
+                re_aggs.append(side(F.col(col)).alias(f"_re_{name}"))
+            re = src_now.groupBy(MV_KEY).agg(*re_aggs)
+            rows = persisted.join(F.broadcast(re), on=MV_KEY, how="left")
+            fixed = {
+                name: (
+                    F.when(F.col("_rr"), F.col(f"_re_{name}"))
+                    .otherwise(F.col(name))
+                    .cast(view_schema[name].dataType)
+                    .alias(name)
+                )
+                for name in extremal
+            }
+            rows = rows.select(*[fixed.get(c, F.col(c)) for c in out_names])
+        else:
+            rows = persisted.select(*[F.col(c) for c in out_names])
+    else:
+        rows = rows.select(*[F.col(c) for c in out_names])
     try:
         return merge_changes(
             view,
             rows,
             batch_id=batch_id,
-            lineage={"mv_source_version": to_v, "mv_mode": "incremental"},
+            lineage={
+                "mv_source_version": to_v,
+                "mv_mode": "incremental",
+                **({"mv_reread_groups": reread_groups} if extremal else {}),
+            },
         )
     finally:
         delta.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def rebuild(view: LakeTable, source: LakeTable) -> MergeResult:
@@ -434,8 +581,10 @@ def rebuild(view: LakeTable, source: LakeTable) -> MergeResult:
     for name, (kind, col) in metrics.items():
         if kind == "count":
             aggs.append(F.count(F.lit(1)).cast("long").alias(name))
-        else:
+        elif kind == "sum":
             aggs.append(F.sum(col).alias(name))
+        else:
+            aggs.append((F.min if kind == "min" else F.max)(col).alias(name))
     fresh = (
         full.groupBy(*group_cols)
         .agg(*aggs)

@@ -402,59 +402,112 @@ def compact(
     for read patterns that filter on non-key columns.  Trade-off: the
     bucket's key-range zone maps widen; cluster the buckets your attribute
     queries hit, keep key-sorted compaction where point lookups dominate.
-    """
-    base = table.snapshot()
-    nb = int(base.properties["num_buckets"])
-    if buckets is None:
-        # default scope: buckets with deltas to fold.  A clustering request
-        # is a LAYOUT rewrite — base-only buckets are exactly what it needs
-        # to reorder, so it defaults to every bucket holding files.
-        wanted_kinds = ("delta",) if not cluster_by else ("delta", "base")
-        buckets = sorted(
-            {
-                b
-                for f in base.files
-                if f.kind in wanted_kinds
-                for b in covered_buckets(f, nb)
-            }
-        )
-    buckets = list(buckets)
-    if not buckets:
-        return base
-    # sibling closure (lazy rescale): compacting a bucket that shares an
-    # old-modulus file with siblings compacts the whole group — which also
-    # MIGRATES those files to the current modulus (the rewrite below labels
-    # rows with the current bucket_expr and carries no modulus stamp)
-    buckets = table.closure_buckets(buckets, snapshot=base)
-    resolved = table.scan(snapshot=base, buckets=buckets, include_tombstones=True)
-    if drop_tombstones:
-        resolved = resolved.filter(~F.col(DELETED_COL))
-    out = resolved.withColumn(
-        BUCKET_COL, table.bucket_expr(num_buckets=nb)
-    )
-    sort_exprs = None
-    if cluster_by:
-        from geomesa_nifi_spark.lake.cluster import DEFAULT_BITS, cluster_sort_exprs
 
-        sort_exprs = cluster_sort_exprs(
-            out, list(cluster_by), bits=cluster_bits or DEFAULT_BITS
-        )
-    new_files = table.write_files(
-        out, base.version + 1, max_records_per_file, kind="base",
-        sort_exprs=sort_exprs,
-    )
-    return table.commit_rewrite(
-        touched_buckets=buckets,
-        new_files=new_files,
-        summary={
-            "operation": "compact",
-            "batch_id": None,
-            "touched_buckets": buckets,
-            "rows_written": sum(f.rows for f in new_files),
-            **({"clustered_by": list(cluster_by)} if cluster_by else {}),
-        },
-        base=base,
-    )
+    Optimistic concurrency: losing the commit race to a commit that did
+    NOT touch this compaction's buckets is a pure REBASE (the already-
+    written files re-commit against the new head — no rewrite); a
+    conflicting commit that DID touch them (a new delta, a concurrent
+    compact, a rescale) forces a redo from the new head, whose stale
+    first-attempt files become vacuum orphans.  With three concurrent
+    committers (two writers + a maintenance loop) this loop is what keeps
+    auto-compaction from aborting a merge that already committed its
+    deltas (observed in ``tools/multiwriter_soak.py``).
+    """
+    import random as _random
+    import time as _time
+
+    requested = list(buckets) if buckets is not None else None
+    base = table.snapshot()
+    new_files = None
+    closure: list[int] = []
+    nb = int(base.properties["num_buckets"])
+    for attempt in range(10):
+        if new_files is None:
+            nb = int(base.properties["num_buckets"])
+            scope = requested
+            if scope is None:
+                # default scope: buckets with deltas to fold.  A clustering
+                # request is a LAYOUT rewrite — base-only buckets are exactly
+                # what it needs to reorder, so it defaults to every bucket
+                # holding files.
+                wanted_kinds = ("delta",) if not cluster_by else ("delta", "base")
+                scope = sorted(
+                    {
+                        b
+                        for f in base.files
+                        if f.kind in wanted_kinds
+                        for b in covered_buckets(f, nb)
+                    }
+                )
+            if not scope:
+                return base
+            # sibling closure (lazy rescale): compacting a bucket that shares
+            # an old-modulus file with siblings compacts the whole group —
+            # which also MIGRATES those files to the current modulus (the
+            # rewrite below labels rows with the current bucket_expr and
+            # carries no modulus stamp)
+            closure = table.closure_buckets(scope, snapshot=base)
+            resolved = table.scan(
+                snapshot=base, buckets=closure, include_tombstones=True
+            )
+            if drop_tombstones:
+                resolved = resolved.filter(~F.col(DELETED_COL))
+            out = resolved.withColumn(
+                BUCKET_COL, table.bucket_expr(num_buckets=nb)
+            )
+            sort_exprs = None
+            if cluster_by:
+                from geomesa_nifi_spark.lake.cluster import (
+                    DEFAULT_BITS,
+                    cluster_sort_exprs,
+                )
+
+                sort_exprs = cluster_sort_exprs(
+                    out, list(cluster_by), bits=cluster_bits or DEFAULT_BITS
+                )
+            new_files = table.write_files(
+                out, base.version + 1, max_records_per_file, kind="base",
+                sort_exprs=sort_exprs,
+            )
+        try:
+            return table.commit_rewrite(
+                touched_buckets=closure,
+                new_files=new_files,
+                summary={
+                    "operation": "compact",
+                    "batch_id": None,
+                    "touched_buckets": closure,
+                    "rows_written": sum(f.rows for f in new_files),
+                    **({"clustered_by": list(cluster_by)} if cluster_by else {}),
+                },
+                base=base,
+            )
+        except CommitConflict:
+            head = table.snapshot()
+            if (
+                int(head.properties["num_buckets"]) != nb
+                or _changed_buckets(base, head, nb) & set(closure)
+            ):
+                new_files = None  # stale fold: redo against the new head
+            base = head
+            # two maintenance compactors can otherwise ping-pong the race
+            _time.sleep(_random.uniform(0, 0.2 * (2 ** min(attempt, 4))))
+    raise CommitConflict("compact: lost the commit race 10 times")
+
+
+def _changed_buckets(old: "Snapshot", new: "Snapshot", nb: int) -> set[int]:
+    """Buckets whose file set differs between two snapshots — the overlap
+    test for compaction rebase (any added/removed file's coverage)."""
+    old_paths = {f.path for f in old.files}
+    new_paths = {f.path for f in new.files}
+    changed: set[int] = set()
+    for f in new.files:
+        if f.path not in old_paths:
+            changed.update(covered_buckets(f, nb))
+    for f in old.files:
+        if f.path not in new_paths:
+            changed.update(covered_buckets(f, nb))
+    return changed
 
 
 def migrate_layout(

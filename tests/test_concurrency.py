@@ -199,3 +199,71 @@ def test_append_only_conflict_idempotent_skip(spark, tmp_path, monkeypatch):
                     batch_id="me")
     assert r.skipped and r.metrics.get("reason") == "batch_committed"
     assert [x.url for x in t.scan().collect()] == ["dup"]  # appended exactly once
+
+
+def _count_base_writes(monkeypatch):
+    """Wrap write_files (AFTER any other patch) counting kind='base' calls."""
+    counts = {"base": 0}
+    prev = _LT.write_files
+
+    def counting(self, df, version_hint, max_records_per_file=2_000_000,
+                 kind="base", **kw):
+        if kind == "base":
+            counts["base"] += 1
+        return prev(self, df, version_hint, max_records_per_file, kind, **kw)
+
+    monkeypatch.setattr(_LT, "write_files", counting)
+    return counts
+
+
+def test_compact_rebase_on_disjoint_conflict(spark, tmp_path, monkeypatch):
+    """compact() loses the version race to a commit touching OTHER buckets:
+    pure rebase — the already-written fold re-commits, no second rewrite
+    (three-committer soak finding: auto-compaction used to abort here)."""
+    from geomesa_nifi_spark.lake import compact
+
+    t = make(spark, tmp_path)
+    urls = [f"u{i}" for i in range(40)]
+    b_of = {u: t._literal_buckets([u], 4)[0] for u in urls}
+    a = next(u for u in urls if b_of[u] == 0)
+    c = next(u for u in urls if b_of[u] == 3)
+    mk = lambda rows: spark.createDataFrame(rows, CHANGE)
+    merge_changes(t, mk([ev(a, 1, "v1")]), batch_id="s1", mode="mor", auto_compact=False)
+    merge_changes(t, mk([ev(a, 2, "v2")]), batch_id="s2", mode="mor", auto_compact=False)
+    _inject_commit_between(monkeypatch, t, spark, [ev(c, 99, "x")])
+    counts = _count_base_writes(monkeypatch)
+    snap = compact(t, buckets=[0])
+    assert snap.summary["operation"] == "compact"
+    assert counts["base"] == 1  # rebase: the fold was NOT rewritten
+    bids = [s.summary.get("batch_id") for s in t.history()]
+    assert "intruder" in bids
+    final = {x.url: x.text for x in t.scan().collect()}
+    assert final == {a: "v2", c: "x"}  # nobody's rows lost
+    assert not any(
+        f.kind == "delta" and f.bucket == 0 for f in t.snapshot().files
+    )
+
+
+def test_compact_redo_on_overlapping_conflict(spark, tmp_path, monkeypatch):
+    """compact() loses the race to a commit that added a delta INTO its
+    scope: the stale fold would drop that delta's rows, so it must redo
+    from the new head (and the redo folds the intruder's delta too)."""
+    from geomesa_nifi_spark.lake import compact
+
+    t = make(spark, tmp_path)
+    urls = [f"u{i}" for i in range(40)]
+    b_of = {u: t._literal_buckets([u], 4)[0] for u in urls}
+    a = next(u for u in urls if b_of[u] == 0)
+    mk = lambda rows: spark.createDataFrame(rows, CHANGE)
+    merge_changes(t, mk([ev(a, 1, "v1")]), batch_id="s1", mode="mor", auto_compact=False)
+    merge_changes(t, mk([ev(a, 2, "v2")]), batch_id="s2", mode="mor", auto_compact=False)
+    # intruder updates the SAME key -> same bucket 0, inside the scope
+    _inject_commit_between(monkeypatch, t, spark, [ev(a, 99, "intruder")])
+    counts = _count_base_writes(monkeypatch)
+    compact(t, buckets=[0])
+    assert counts["base"] == 2  # first fold discarded, redo against head
+    final = {x.url: x.text for x in t.scan().collect()}
+    assert final == {a: "intruder"}  # the raced delta was folded, not dropped
+    assert not any(f.kind == "delta" for f in t.snapshot().files)
+    # the abandoned first-attempt files are unreferenced -> vacuum removes them
+    assert t.vacuum(min_age_s=0)

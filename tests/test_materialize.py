@@ -310,3 +310,151 @@ def test_view_on_evolved_column_refreshes_from_v0(spark, tmp_path):
     view = make_view(spark, tmp_path, source)
     refresh(view, source)  # range spans the pre-evolution commit
     assert view_state(view) == oracle(source) == {None: (2, 11), "en": (1, 7)}
+
+
+# ---------------------------------------------------------------------------
+# min/max extremal metrics (semi-maintainable: delta case analysis with a
+# bounded per-group re-read when a touched bucket held the current extreme)
+# ---------------------------------------------------------------------------
+
+
+def make_minmax_view(spark, tmp_path, source, name="mvx"):
+    return create_aggregate_view(
+        spark, str(tmp_path / name), source,
+        group_cols=["lang"],
+        metrics={
+            "n": "count",
+            "tok": ("sum", "tokens"),
+            "lo": ("min", "tokens"),
+            "hi": ("max", "tokens"),
+        },
+        num_buckets=4,
+    )
+
+
+def minmax_oracle(source):
+    rows = (
+        source.scan()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tokens").alias("tok"),
+            F.min("tokens").alias("lo"),
+            F.max("tokens").alias("hi"),
+        )
+        .collect()
+    )
+    return {r["lang"]: (r["n"], r["tok"], r["lo"], r["hi"]) for r in rows}
+
+
+def minmax_state(view):
+    return {
+        r["lang"]: (r["n"], r["tok"], r["lo"], r["hi"])
+        for r in view.scan().select("lang", "n", "tok", "lo", "hi").collect()
+    }
+
+
+def _last_reread(view):
+    snap = view.snapshot()
+    return (snap.summary.get("lineage") or {}).get("mv_reread_groups")
+
+
+def test_minmax_insert_only_no_reread(spark, tmp_path):
+    """Growing extremes resolve from the delta alone (a new extreme always
+    wins) — no re-read pass."""
+    src = make_source(spark, tmp_path)
+    view = make_minmax_view(spark, tmp_path, src)
+    apply(spark, src, [ev(f"a{i}", i, "en", 100 + i) for i in range(6)], "b0")
+    refresh(view, src)
+    assert minmax_state(view) == minmax_oracle(src)
+    assert _last_reread(view) == 0
+    # a new global min and max in one batch
+    apply(spark, src, [ev("low", 10, "en", 1), ev("high", 11, "en", 999)], "b1")
+    refresh(view, src)
+    assert minmax_state(view) == minmax_oracle(src)
+    assert _last_reread(view) == 0
+
+
+def test_minmax_delete_of_extreme_triggers_bounded_reread(spark, tmp_path):
+    """Deleting the row that held the group's min forces a re-read of that
+    group only; the refreshed value matches the recompute oracle."""
+    src = make_source(spark, tmp_path)
+    view = make_minmax_view(spark, tmp_path, src)
+    apply(spark, src, [ev(f"a{i}", i, "en", 100 + 10 * i) for i in range(5)]
+          + [ev(f"b{i}", i, "de", 500 + i) for i in range(3)], "b0")
+    refresh(view, src)
+    # a0 holds en's min (100): delete it
+    apply(spark, src, [ev("a0", 50, "en", 0, op="delete")], "b1")
+    refresh(view, src)
+    assert minmax_state(view) == minmax_oracle(src)
+    assert minmax_state(view)["en"][2] == 110
+    assert _last_reread(view) == 1  # only the en group re-read
+
+
+def test_minmax_update_moving_extreme_away(spark, tmp_path):
+    """An LWW update that REPLACES the extreme value (same key, higher ts,
+    larger tokens) is a delete+insert in the diff: min must recover via
+    re-read, max via the delta."""
+    src = make_source(spark, tmp_path)
+    view = make_minmax_view(spark, tmp_path, src)
+    apply(spark, src, [ev("u1", 1, "en", 5), ev("u2", 2, "en", 50)], "b0")
+    refresh(view, src)
+    assert minmax_state(view)["en"] == (2, 55, 5, 50)
+    apply(spark, src, [ev("u1", 10, "en", 70)], "b1")  # 5 -> 70
+    refresh(view, src)
+    assert minmax_state(view) == minmax_oracle(src)
+    assert minmax_state(view)["en"] == (2, 120, 50, 70)
+
+
+def test_minmax_group_vanish_and_return(spark, tmp_path):
+    src = make_source(spark, tmp_path)
+    view = make_minmax_view(spark, tmp_path, src)
+    apply(spark, src, [ev("x1", 1, "fr", 42)], "b0")
+    refresh(view, src)
+    apply(spark, src, [ev("x1", 2, "fr", 0, op="delete")], "b1")
+    refresh(view, src)
+    assert "fr" not in minmax_state(view)
+    assert minmax_state(view) == minmax_oracle(src)
+    apply(spark, src, [ev("x2", 3, "fr", 7)], "b2")
+    refresh(view, src)
+    assert minmax_state(view)["fr"] == (1, 7, 7, 7)
+
+
+def test_minmax_matches_rebuild_over_scrambled_history(spark, tmp_path):
+    """Many batches of mixed upserts/deletes, refreshed incrementally,
+    equals a from-scratch rebuild on a second view."""
+    import random
+
+    rng = random.Random(7)
+    src = make_source(spark, tmp_path)
+    view = make_minmax_view(spark, tmp_path, src)
+    langs = ["en", "de", "fr"]
+    i = 0
+    for b in range(6):
+        rows = []
+        for _ in range(12):
+            i += 1
+            key = f"k{rng.randrange(20)}"
+            op = "delete" if rng.random() < 0.3 else "upsert"
+            rows.append(ev(key, i, langs[rng.randrange(3)], rng.randrange(1000), op=op))
+        apply(spark, src, rows, f"b{b}", mode="mor" if b % 2 else "cow")
+        refresh(view, src)
+        assert minmax_state(view) == minmax_oracle(src), f"diverged at batch {b}"
+    view2 = make_minmax_view(spark, tmp_path, src, name="mvx2")
+    rebuild(view2, src)
+    assert minmax_state(view2) == minmax_state(view)
+
+
+def test_minmax_unorderable_type_rejected(spark, tmp_path):
+    src = make_source(spark, tmp_path)
+    bad = T.StructType(list(SCHEMA.fields) + [T.StructField("blob", T.BinaryType())])
+    src2 = LakeTable.create(
+        spark, str(tmp_path / "src2"), bad,
+        key_col="url", ts_col="warc_ts", tiebreak_col="offset", num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="unorderable"):
+        create_aggregate_view(
+            spark, str(tmp_path / "mvbad"), src2,
+            group_cols=["lang"],
+            metrics={"n": "count", "m": ("min", "blob")},
+        )
