@@ -712,14 +712,21 @@ class LakeTable:
         return df.withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
 
     def _resolve_lww(self, df: DataFrame) -> DataFrame:
-        """One row per key: greatest (ts, tiebreak) wins, tombstones kept."""
+        """One row per key: greatest (ts, tiebreak) wins, tombstones kept.
+
+        Columnar max_by (one aggregate per column, not one over a packed
+        row struct) so Catalyst column-prunes the resolution: a consumer
+        reading two columns of a resolved wide table shuffles two columns,
+        and ``scan().count()`` ships only key + order columns.  Sound
+        because the merge contract already requires (ts, tiebreak) to
+        totally order a key's events (dedup.py ``maxby-columnar`` note)."""
         from geomesa_nifi_spark.operators.dedup import lww_dedup
 
         ts = self.ts_col
         if ts is None:
             raise ValueError("merge-on-read resolution requires a ts_col")
         order = [ts] + ([self.tiebreak_col] if self.tiebreak_col else [])
-        return lww_dedup(df, self.key_col, order, strategy="maxby")
+        return lww_dedup(df, self.key_col, order, strategy="maxby-columnar")
 
     def lookup(self, keys: list, version: int | str | None = None) -> DataFrame:
         """Point lookup: the ModifyWriter read path

@@ -73,6 +73,28 @@ def lww_dedup(
         )
         return agg.select([F.col(f"{_ROW}.{c}").alias(c) for c in out_cols])
 
+    if strategy == "maxby-columnar":
+        # One max_by PER COLUMN instead of one over a packed row struct.
+        # Semantically identical to "maxby" ONLY when ``order_cols`` is a
+        # total order per key (no two rows of a key share the tuple) —
+        # on ties, per-column picks could mix columns from different rows.
+        # The lake's merge contract already requires that uniqueness
+        # ((ts, tiebreak) totally orders a key's events, else replay
+        # results would be batching-dependent), so merge-on-read
+        # resolution uses this form.  Why it exists: a packed struct is
+        # opaque to Catalyst, so a consumer that reads two columns of a
+        # resolved 40-column table still shuffles all 40; with per-column
+        # aggregates, unused ones are PRUNED (column pruning reaches the
+        # parquet scan), and a count() over resolved state ships only the
+        # key + order columns — at 100 TB that is the difference between
+        # shuffling kilobytes and shuffling the table.
+        ordc = _order_struct(order)
+        non_key = [c for c in out_cols if c not in keys]
+        agg = df.groupBy(*keys).agg(
+            *[F.max_by(F.col(c), ordc).alias(c) for c in non_key]
+        )
+        return agg.select(*out_cols)
+
     if strategy == "salted":
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets))
         partial = (

@@ -72,3 +72,40 @@ def test_convert_props_pushdown(spark):
     q = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
     assert_pushed_filters(q, "event_type")
     assert_read_schema_only(q, {"event_id", "event_type"})
+
+
+def test_mor_resolution_column_prunes(spark, tmp_path):
+    """Merge-on-read resolution uses per-column max_by (maxby-columnar),
+    so a narrow consumer prunes unused columns THROUGH the LWW aggregate
+    all the way to the parquet scan: count() over resolved state must not
+    read the text payload."""
+    from geomesa_nifi_spark.lake import merge_changes
+
+    t = _table(spark, tmp_path)
+    ch = spark.createDataFrame(
+        [Row(url=f"u{i}", warc_ts=dt.datetime(2024, 1, 2), text=f"n{i}",
+             lang="en", offset=1000 + i, op="upsert") for i in range(10)],
+        T.StructType(list(PAGES.fields) + [T.StructField("op", T.StringType())]),
+    )
+    merge_changes(t, ch, batch_id="d1", mode="mor", auto_compact=False)
+    assert any(f.kind == "delta" for f in t.snapshot().files)
+    # count over resolved state: only key + order cols + tombstone flag read
+    q = t.scan().select(F.count(F.lit(1)))
+    assert_read_schema_only(q, {"url", "warc_ts", "offset", "_deleted"})
+    # narrow projection: text still unread, lang read
+    q2 = t.scan().select("url", "lang")
+    assert_read_schema_only(q2, {"url", "warc_ts", "offset", "lang", "_deleted"})
+    # and the wide read still resolves the LWW winners correctly
+    got = {r["url"]: r["text"] for r in t.scan().collect()}
+    assert got["u0"] == "n0" and got["u99"] == "t99" and len(got) == 100
+
+
+def test_maxby_columnar_equals_struct_on_unique_order(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    src = t.scan()
+    a = lww_dedup(src, "url", ["warc_ts", "offset"], strategy="maxby")
+    b = lww_dedup(src, "url", ["warc_ts", "offset"], strategy="maxby-columnar")
+    # count BEFORE executing: a collected AQE plan renders shuffle stages
+    # as extra Exchange-bearing lines
+    assert count_exchanges(b) == 1  # still one shuffle, still partial-agg
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
