@@ -878,6 +878,28 @@ def main() -> None:
         "shape": "self-describing container values, 500 records/message",
     }
     spark.stop()
+    # fully release the parent JVM before the scaling pair: spark.stop()
+    # ends the SparkContext but the py4j gateway JVM (24 g heap, RSS in
+    # the tens of GB after the suite above) stays resident and competes
+    # with the measurement children for memory bandwidth and page cache.
+    # Measured r5: big-side floor 34.3 s with the JVM resident vs 31.6 s
+    # on a bare box, same code — an ~8% tax that lands entirely on the
+    # 8-thread side and depresses the scaling ratio.  Nothing after this
+    # point needs a JVM in this process (children bring their own).
+    try:
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                proc.terminate()
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+    except Exception as exc:  # measurement still valid, just less calm
+        print(f"parent JVM shutdown failed (continuing): {exc}", file=sys.stderr)
+    time.sleep(2.0)
 
     # headline + scaling: full pipeline in fresh subprocesses.
     # N -> 4N proxy at 2 -> 8 threads: on one shared-memory box the memory
