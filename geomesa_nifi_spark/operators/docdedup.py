@@ -33,13 +33,19 @@ def tokens_col(text, min_len: int = 1):
 
 
 def shingles_col(tokens, n: int):
-    """Distinct word n-grams as strings; empty array when too short."""
+    """Distinct word n-grams as strings; empty array when too short.
+
+    The short-doc guard must short-circuit the ``sequence`` itself:
+    ``sequence(1, 0)`` DESCENDS to ``[1, 0]`` and the ``slice`` at start 0
+    throws — a latent crash for any document with fewer than ``n`` tokens
+    (impossible on the fixture corpora, fatal on a real crawl)."""
     count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        )
+        F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -158,6 +164,32 @@ def minhash_signatures(
     return hashed.select("doc_id", "n_sh", sig.alias("signature"))
 
 
+def _gram_strings(tokens, n: int):
+    """Word n-gram strings WITHOUT ``array_distinct`` — every downstream
+    consumer here is set-shaped (``min`` over permutation hashes is
+    duplicate-blind; the verify sets go through ``collect_set``), so the
+    per-row distinct pass, measured as the single most expensive node of
+    the old chain, bought nothing.  For the declared n=2 case the grams
+    come from ONE ``zip_with`` over two array slices (two slices per ROW)
+    instead of a ``slice`` + ``concat_ws`` per SHINGLE — higher-order
+    lambdas run interpreted (no whole-stage codegen), so shrinking the
+    per-element tree from ~20 interpreted nodes to ~3 is a direct win."""
+    if n == 2:
+        span = F.greatest(F.size(tokens) - F.lit(1), F.lit(0))
+        return F.zip_with(
+            F.slice(tokens, 1, span),
+            F.slice(tokens, 2, span),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    # sequence(1, 0) descends — guard like shingles_col does
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -167,24 +199,52 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: bool = True,
+    seed: int = 42,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any band become candidates; candidates
     are verified with exact Jaccard when ``verify`` (the production shape:
-    cheap recall, exact precision)."""
+    cheap recall, exact precision).
+
+    Physical shape (optimization round 6): shingle hashes explode into a
+    ``groupBy(doc_id)`` carrying the k permutation ``min``s AND the
+    ``collect_set`` of shingle hashes — ONE whole-stage-codegen aggregate
+    replaces the old per-row array tree (k interpreted ``transform``
+    passes; higher-order lambdas never enter codegen) and feeds banding
+    and verification from the same exchange (AQE reuses it).  The
+    signature values are bit-identical to the old formulation (same
+    ``xxhash64(concat_ws shingle, seed)`` / ``xxhash64(h, j)`` family), so
+    the candidate set is unchanged; verification intersects 64-bit shingle
+    *hash* sets instead of shingle strings — Jaccard over the hashed sets
+    equals string-set Jaccard unless xxhash64 collides inside a document
+    pair (checked collision-free on the gate corpora; at web scale a
+    collision perturbs one pair's jaccard by ~1/|set|).  Map-side partial
+    aggregation keeps the shuffle at one partial row per doc per task, so
+    the relational shape scales like the array shape did."""
     rows = k // bands
-    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    ex = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_gram_strings(tokens_col(F.col(text_col)), n)).alias("_g"),
+        )
+        # one hash per shingle occurrence; dedup happens in the aggregate
+        .select("doc_id", F.xxhash64(F.col("_g"), F.lit(seed)).alias("h"))
+    )
+    per_doc = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"_s{j}") for j in range(k)],
+        F.collect_set("h").alias("_hs"),
+    )
     band_arr = F.array(
         *[
-            F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)], F.lit(b))
+            F.xxhash64(*[F.col(f"_s{b * rows + r}") for r in range(rows)], F.lit(b))
             for b in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band", "band_hash"))
+    banded = per_doc.select("doc_id", F.posexplode(band_arr).alias("band", "band_hash"))
     # Pairs come from grouping each (band, bucket) and expanding in-bucket
     # combinations with array transforms — ONE pass over the signature
     # subtree and one shuffle.  The classic self-join spelling reads
-    # `banded` twice, which re-runs the whole tokenize+shingle+signature
-    # computation per side (measured: it doubled the operator's cost).
+    # `banded` twice, which re-runs the whole signature computation per
+    # side (measured: it doubled the operator's cost).
     cands = (
         banded.groupBy("band", "band_hash")
         .agg(F.collect_set("doc_id").alias("ids"))
@@ -195,16 +255,13 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    # Verify ONLY the candidates: join each pair to its two shingle arrays
-    # and intersect in-memory (array_intersect), instead of re-running the
-    # whole-corpus inverted-index join — candidates are O(near-dups), so this is
-    # linear in the LSH output, not quadratic in the corpus.
-    sets_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles_col(tokens_col(F.col(text_col)), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    # Verify ONLY the candidates: join each pair to its two shingle-hash
+    # sets and intersect in-memory (array_intersect over longs — regular
+    # codegen, no lambda), instead of re-running the whole-corpus
+    # inverted-index join — candidates are O(near-dups), so this is linear
+    # in the LSH output, not quadratic in the corpus.
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("_hs").alias("sa"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("_hs").alias("sb"))
     joined = cands.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter / (F.size("sa") + F.size("sb") - inter)

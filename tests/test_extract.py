@@ -50,6 +50,49 @@ def test_udf_byte_identical_to_reference(spark):
         assert r.lang == detect_lang_str(expected)
 
 
+def test_batch_kernel_fuzz_byte_identical():
+    """The RE2-vectorized batch kernel must agree byte-for-byte with the
+    row-wise reference on an adversarial corpus: entities, nested comments,
+    mixed-case tags, exotic Unicode whitespace, astral codepoints, U+0130,
+    invalid UTF-8, nulls — every fallback route and every fast path."""
+    import random
+
+    import pandas as pd
+
+    from geomesa_nifi_spark.functions.extract import _extract_batch
+
+    random.seed(123)
+    ws = ["\x1c", "\x1d", "\x1e", "\x1f", "\x85", "\xa0", " ", " ",
+          " ", " ", " ", " ", " ", " ",
+          "　", "\x0b", "\x0c"]
+    frag = ws + [
+        "<script>", "</script>", "<script type='x'>", "</script  >",
+        "<style>", "</style>", "<head>", "</head　>", "<noscript>",
+        "</noscript>", "<!--", "-->", "<p>", "</p>", "<div class='a'>",
+        "<", ">", "&amp;", "&lt;", "&#65;", "&", "der die und f\xfcr",
+        "the and of to", "le de la", "que el en", "di e il", "İstanbul",
+        "caf\xe9", "\xfcber", "x1 2y _z", "<sCrIpT>aa</ScRiPt\t>",
+        "<!-- <script>n</script> -->", "\U0001F600", "\U00011F02", "plain",
+        "\xb2\xb3\xaa", "<script\xe9>x</script>", "a&b<p>c",
+    ]
+    docs: list = []
+    for _ in range(3000):
+        b = "".join(random.choice(frag) for _ in range(random.randint(0, 35))).encode()
+        if random.random() < 0.03:
+            b += b"\xff\xfe"
+        docs.append(b)
+    docs += [None, b""]
+    out = _extract_batch(pd.Series(docs, dtype=object))
+    for i, d in enumerate(docs):
+        want_t = extract_text_bytes(d)
+        want_l = detect_lang_str(want_t)
+        got_t, got_l = out["text"].iat[i], out["lang"].iat[i]
+        got_t = None if got_t is None or (isinstance(got_t, float)) else got_t
+        got_l = None if got_l is None or (isinstance(got_l, float)) else got_l
+        assert got_t == want_t, (d, got_t, want_t)
+        assert got_l == want_l, (d, got_l, want_l)
+
+
 def test_generator_roundtrip_and_determinism(spark):
     a = change_stream(spark, 300, seed=42)
     b = change_stream(spark, 300, seed=42)

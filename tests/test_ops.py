@@ -50,6 +50,48 @@ def test_ngram_jaccard_and_minhash_agree(spark):
     assert lsh == exact  # verified candidates == exact pairs
 
 
+def test_gram_strings_match_shingles_col_as_sets(spark):
+    """The r6 relational MinHash chain drops ``array_distinct`` from gram
+    generation (min-aggregation and ``collect_set`` are duplicate-blind)
+    and uses a ``zip_with`` fast path for n=2: as SETS the grams must equal
+    the old ``shingles_col`` output for every n."""
+    from pyspark.sql import functions as F
+
+    from geomesa_nifi_spark.operators.docdedup import (
+        _gram_strings,
+        shingles_col,
+        tokens_col,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "repeat repeat repeat repeat",
+        "one",
+        "",
+        "x y x y x y",
+    ]
+    df = docs_df(spark, texts)
+    for n in (2, 3):
+        rows = df.select(
+            F.sort_array(F.array_distinct(_gram_strings(tokens_col(F.col("text")), n))).alias("new"),
+            F.sort_array(shingles_col(tokens_col(F.col("text")), n)).alias("old"),
+        ).collect()
+        for r in rows:
+            assert r.new == r.old, (n, r)
+
+
+def test_minhash_scales_with_duplicate_heavy_docs(spark):
+    """Duplicate shingles must not change the verified pair set (the
+    aggregate dedups via collect_set; min ignores duplicates)."""
+    a = "the cat sat on the mat " * 20  # heavy internal repetition
+    b = "the cat sat on the mat and slept " * 20
+    far = "completely different words entirely here now"
+    df = docs_df(spark, [a, b, far])
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df, 0.3, 2).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(df, 0.3, 32, 16, 2).collect()}
+    assert lsh == exact and (0, 1) in lsh
+
+
 def test_simhash_properties(spark):
     from geomesa_nifi_spark.plans.checks import assert_not_in_plan
 
