@@ -80,6 +80,20 @@ def get_spark(
         # pyarrow read it identically.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Scan-split size, parameterised (GNS_MAX_PARTITION_BYTES).  The
+        # local default is 32 MB, not Spark's 128 MB: a CDC batch's change
+        # files are tens of MB, and the map side of the LWW dedup (the
+        # partial max_by combine) is input-split-bound — at 128 MB a
+        # 160 MB/32-file batch planned 2-3 scan tasks and left 29 of 32
+        # cores idle through the heaviest stage (measured: CoW replay
+        # 11.2 s -> 9.4 s, MoR 10.7 s -> 6.6 s at sf-bench scale).  On a
+        # cluster running monolithic scans, raise it (128 MB - 1 GB) via
+        # the env knob or extra_conf; per-executor parallelism there comes
+        # from executor counts, not from splitting a single batch finely.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("GNS_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         # local mode = one JVM: the driver heap IS the executor heap, and it
