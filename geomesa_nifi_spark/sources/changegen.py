@@ -1,4 +1,4 @@
-"""Deterministic synthetic CDC change stream — generated entirely JVM-side.
+"""Deterministic synthetic CDC change stream.
 
 Produces the F2 ``changes`` fixture shape (FIXTURES.md):
 
@@ -24,8 +24,11 @@ boilerplate that the extraction stage must strip; round-tripping
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
 
@@ -49,6 +52,124 @@ _LANG_SLOTS = ["en", "en", "en", "de", "fr", "es"]
 def _unit(*cols: Column) -> Column:
     """Deterministic uniform [0, 1) from a hash of the inputs."""
     return (F.pmod(F.xxhash64(*cols), F.lit(1 << 30)) / F.lit(float(1 << 30)))
+
+
+# --- vectorized word synthesis (optimization round 6) -----------------------
+#
+# The body text is ``n_words`` vocabulary draws per event, one
+# ``xxhash64(id, seed, 7, i)`` per word.  As a ``transform(sequence(...))``
+# lambda that chain runs INTERPRETED (higher-order functions never enter
+# whole-stage codegen), and at 2M events x ~425 words it was the single
+# most expensive stage of benchmark materialization (~1000 s-core).  The
+# batch kernel below reproduces the hash chain bit-exactly in numpy
+# (XXH64 8-byte and 4-byte paths, matching Spark's XxHash64Function — the
+# same spec ``functions/xxhash.py`` pins driver-side) and gathers/joins
+# the words with Arrow — ~15x faster, byte-identical output
+# (tests/test_extract.py::test_generator_vectorized_text_matches_jvm).
+
+_U64 = None  # numpy constants, materialized lazily
+
+
+def _np_consts():
+    import numpy as np
+
+    u = np.uint64
+    return {
+        "P1": u(0x9E3779B185EBCA87), "P2": u(0xC2B2AE3D27D4EB4F),
+        "P3": u(0x165667B19E3779F9), "P4": u(0x85EBCA77C2B2AE63),
+        "P5": u(0x27D4EB2F165667C5),
+        "c4": u(4), "c8": u(8),
+        "r23": u(23), "r41": u(41), "r27": u(27), "r37": u(37),
+        "r31": u(31), "r33": u(33), "r29": u(29), "r32": u(32),
+    }
+
+
+def _xxh_avalanche(h, C):
+    h = h ^ (h >> C["r33"])
+    h = h * C["P2"]
+    h = h ^ (h >> C["r29"])
+    h = h * C["P3"]
+    h = h ^ (h >> C["r32"])
+    return h
+
+
+def _xxh_long(v, seed, C):
+    """Vectorized XXH64 of an 8-byte little-endian long == Spark's
+    ``XxHash64Function.hashLong`` == ``xxh64(v.to_bytes(8,'le'), seed)``."""
+    h = seed + C["P5"] + C["c8"]
+    t = v * C["P2"]
+    t = ((t << C["r31"]) | (t >> C["r33"])) * C["P1"]
+    h = h ^ t
+    h = ((h << C["r27"]) | (h >> C["r37"])) * C["P1"] + C["P4"]
+    return _xxh_avalanche(h, C)
+
+
+def _xxh_int(v, seed, C):
+    """Vectorized XXH64 of a 4-byte little-endian int (hashInt path)."""
+    h = seed + C["P5"] + C["c4"]
+    h = h ^ (v * C["P1"])
+    h = ((h << C["r23"]) | (h >> C["r41"])) * C["P2"] + C["P3"]
+    return _xxh_avalanche(h, C)
+
+
+def _text_kernel(ids, lang_idx, n_words, seed: int):
+    """text column for one batch: per row, ``n_words`` vocab draws indexed
+    by ``pmod(xxhash64(id, seed, 7, j), V)``, joined with spaces — the
+    exact value of the JVM expression in ``_jvm_text_expr``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    C = _np_consts()
+    # uint64 arithmetic wraps mod 2^64 by design (that IS the hash);
+    # numpy warns on *scalar* overflow even though the result is exact
+    _suppress = np.errstate(over="ignore")
+    _suppress.__enter__()
+    n = len(ids)
+    nw = n_words.astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nw, out=offsets[1:])
+    total = int(offsets[-1])
+    row_of = np.repeat(np.arange(n, dtype=np.int64), nw)
+    j = (np.arange(total, dtype=np.int64) - offsets[row_of]).astype(np.uint64)
+    # chain: h=42; hashLong(id); hashInt(seed); hashInt(7); hashInt(j)
+    h = _xxh_long(ids.astype(np.int64).view(np.uint64)[row_of], np.uint64(42), C)
+    h = _xxh_int(np.uint64(seed), h, C)
+    h = _xxh_int(np.uint64(7), h, C)
+    h = _xxh_int(j, h, C)
+    idx = h.view(np.int64) % _VOCAB_SIZE  # numpy % == pmod for int64
+    code = lang_idx.astype(np.int64)[row_of] * _VOCAB_SIZE + idx
+    flat_vocab = pa.array(
+        [VOCABS[lang][w] for lang in _LANG_SLOTS for w in range(_VOCAB_SIZE)]
+    )
+    words = flat_vocab.take(pa.array(code))
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), words)
+    _suppress.__exit__(None, None, None)
+    return pc.binary_join(lst, " ")
+
+
+def _jvm_text_expr(key_id: Column, seed: int, words_min: int, words_span: int) -> Column:
+    """The original pure-expression formulation — kept as the semantic
+    reference (equality with the kernel is pinned in tests) and as the
+    streaming-safe fallback via GNS_GEN_JVM=1."""
+    sid = F.lit(seed)
+    lang_idx = F.pmod(F.xxhash64(key_id, sid, F.lit(5)), F.lit(len(_LANG_SLOTS))).cast("int")
+    vocab_arrays = F.array(
+        *[F.array(*[F.lit(w) for w in VOCABS[lang][:_VOCAB_SIZE]]) for lang in _LANG_SLOTS]
+    )
+    vocab = F.element_at(vocab_arrays, lang_idx + 1)
+    n_words = (
+        F.lit(words_min)
+        + F.pmod(F.xxhash64(F.col("id"), sid, F.lit(6)), F.lit(words_span))
+    ).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(F.col("id"), sid, F.lit(7), i), F.lit(_VOCAB_SIZE)) + 1).cast("int"),
+        ),
+    )
+    return F.concat_ws(" ", words)
 
 
 def change_stream(
@@ -110,60 +231,95 @@ def change_stream(
     jitter = F.pmod(h(4), F.lit(2 * disorder_seconds)) - F.lit(disorder_seconds)
     warc_ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("id") + jitter)
 
-    # Stable language per key; deterministic text per event.
+    # Stable language per key; deterministic text per event.  The text
+    # column comes from the vectorized kernel by default (see the module
+    # notes above); GNS_GEN_JVM=1 selects the original pure-expression
+    # path — both produce byte-identical rows.
     lang_idx = F.pmod(F.xxhash64(key_id, sid, F.lit(5)), F.lit(len(_LANG_SLOTS))).cast("int")
-    vocab_arrays = F.array(
-        *[F.array(*[F.lit(w) for w in VOCABS[lang][:_VOCAB_SIZE]]) for lang in _LANG_SLOTS]
-    )
-    vocab = F.element_at(vocab_arrays, lang_idx + 1)
     n_words = (F.lit(words_min) + F.pmod(h(6), F.lit(words_span))).cast("int")
-    words = F.transform(
-        F.sequence(F.lit(0), n_words - 1),
-        lambda i: F.element_at(
-            vocab, (F.pmod(F.xxhash64(F.col("id"), sid, F.lit(7), i), F.lit(_VOCAB_SIZE)) + 1).cast("int")
-        ),
-    )
-    text = F.concat_ws(" ", words)
+    partition = F.pmod(F.xxhash64(url, sid), F.lit(n_source_partitions)).cast("int")
 
-    html = F.when(
-        op == "delete", F.lit(None).cast("binary")
-    ).otherwise(
+    if os.environ.get("GNS_GEN_JVM") == "1":
+        textful = df.select(
+            F.col("id"),
+            _jvm_text_expr(key_id, seed, words_min, words_span).alias("_text"),
+        )
+    else:
+        # Narrow Python boundary (guide: pass only the columns the
+        # function needs): 12 bytes per row in, (id, text) out; every
+        # other column is a pure expression of ``id`` and is re-derived
+        # JVM-side below — codegen hashes, negligible next to the text.
+        mid = df.select(
+            F.col("id"), lang_idx.alias("_lidx"), n_words.alias("_nw")
+        )
+        out_schema = T.StructType(
+            [T.StructField("id", T.LongType(), False),
+             T.StructField("_text", T.StringType())]
+        )
+
+        def gen_text(batches):
+            import pyarrow as pa
+
+            for b in batches:
+                text = _text_kernel(
+                    b.column(0).to_numpy(zero_copy_only=False),
+                    b.column(1).to_numpy(zero_copy_only=False),
+                    b.column(2).to_numpy(zero_copy_only=False),
+                    seed,
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(0), text], ["id", "_text"]
+                )
+
+        textful = mid.mapInArrow(gen_text, out_schema)
+
+    base = textful.select(
+        op.alias("op"),
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.col("id").alias("offset"),
+        partition.alias("partition"),
+        key_id.alias("_kid"),
+        lang_idx.alias("_lidx"),
+        F.col("_text"),
+    )
+
+    is_delete = F.col("op") == "delete"
+    if payload == "text":
+        lang = F.element_at(
+            F.array(*[F.lit(lang_name) for lang_name in _LANG_SLOTS]),
+            F.col("_lidx") + 1,
+        )
+        return base.select(
+            "op",
+            "url",
+            "warc_ts",
+            F.when(is_delete, F.lit(None).cast("string"))
+            .otherwise(F.col("_text")).alias("text"),
+            F.when(is_delete, F.lit(None).cast("string")).otherwise(lang).alias("lang"),
+            "offset",
+            "partition",
+        )
+
+    html = F.when(is_delete, F.lit(None).cast("binary")).otherwise(
         F.encode(
             F.concat(
-                F.lit("<html><head><title>Page "), key_id,
+                F.lit("<html><head><title>Page "), F.col("_kid"),
                 F.lit('</title><style>p{margin:0}</style></head><body><p class="c">'),
-                text,
+                F.col("_text"),
                 F.lit('</p><script>var tracked = "no";</script></body></html>'),
             ),
             "UTF-8",
         )
     )
 
-    partition = F.pmod(F.xxhash64(url, sid), F.lit(n_source_partitions)).cast("int")
-
-    if payload == "text":
-        lang = F.element_at(
-            F.array(*[F.lit(lang_name) for lang_name in _LANG_SLOTS]), lang_idx + 1
-        )
-        body = F.when(op == "delete", F.lit(None).cast("string")).otherwise(text)
-        body_lang = F.when(op == "delete", F.lit(None).cast("string")).otherwise(lang)
-        return df.select(
-            op.alias("op"),
-            url.alias("url"),
-            warc_ts.alias("warc_ts"),
-            body.alias("text"),
-            body_lang.alias("lang"),
-            F.col("id").alias("offset"),
-            partition.alias("partition"),
-        )
-
-    return df.select(
-        op.alias("op"),
-        url.alias("url"),
-        warc_ts.alias("warc_ts"),
+    return base.select(
+        "op",
+        "url",
+        "warc_ts",
         html.alias("html"),
-        F.col("id").alias("offset"),
-        partition.alias("partition"),
+        "offset",
+        "partition",
     )
 
 

@@ -125,6 +125,29 @@ def test_text_payload_matches_extraction(spark):
     assert via_html.exceptAll(via_text).count() == 0
 
 
+def test_generator_vectorized_text_matches_jvm(spark):
+    """The numpy/Arrow word-synthesis kernel must reproduce the original
+    JVM expression byte-for-byte, for both payloads and non-default word
+    counts (the kernel re-implements Spark's xxhash64 chain bit-exactly)."""
+    import os
+
+    for payload, kw in (
+        ("html", {}),
+        ("text", {}),
+        ("html", {"words_min": 40, "words_span": 30}),
+    ):
+        os.environ["GNS_GEN_JVM"] = "1"
+        try:
+            old = change_stream(spark, 2000, n_keys=400, seed=9, payload=payload, **kw)
+            old_rows = old.collect()
+        finally:
+            del os.environ["GNS_GEN_JVM"]
+        new = change_stream(spark, 2000, n_keys=400, seed=9, payload=payload, **kw)
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+        assert len(old_rows) == 2000
+
+
 def test_generator_skew_exists(spark):
     df = change_stream(spark, 2000, n_keys=500, seed=1)
     top = (
