@@ -214,7 +214,17 @@ def _job_count(spark) -> int:
             import time
 
             time.sleep(2)
-    return sc.statusStore().jobsList(None).size()
+    # max job id + 1, NOT the size of the retained-jobs list: the status
+    # store evicts old entries past spark.ui.retainedJobs, so list-size
+    # deltas go negative once a long session crosses the cap (seen when
+    # this test runs late in the full suite) — job ids are monotonic.
+    jobs = sc.statusStore().jobsList(None)
+    mx = -1
+    for i in range(jobs.size()):
+        jid = jobs.apply(i).jobId()
+        if jid > mx:
+            mx = jid
+    return mx + 1
 
 
 def test_quarantine_is_single_job_per_batch(spark, tmp_path):
