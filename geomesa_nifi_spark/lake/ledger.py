@@ -509,6 +509,15 @@ class Ledger:
 
     def _write_manifest(self, version: int, bucket: int, kind: str,
                         files: list[DataFile]) -> dict[str, Any]:
+        """Write + durably publish one manifest (single-manifest callers)."""
+        staged = self._stage_manifest(version, bucket, kind, files)
+        self._publish_manifests([staged])
+        return staged[0]
+
+    def _stage_manifest(self, version: int, bucket: int, kind: str,
+                        files: list[DataFile]):
+        """Write a manifest tmp file WITHOUT fsync; returns
+        ``(ref, tmp_path, files)`` for :meth:`_publish_manifests`."""
         name = (
             f"{MANIFEST_PREFIX}{version:012d}-{kind[0]}{bucket:04d}"
             f"-{uuid.uuid4().hex[:8]}.json"
@@ -517,17 +526,51 @@ class Ledger:
         with open(tmp, "w") as fh:
             json.dump({"files": [f.to_json() for f in files]}, fh)
             fh.flush()
-            os.fsync(fh.fileno())
-        # unique name -> plain atomic rename (no race window to guard)
-        os.rename(tmp, os.path.join(self.dir, name))
-        self._manifest_cache[name] = list(files)
-        return {
+        ref = {
             "path": name,
             "bucket": bucket,
             "kind": kind,
             "n_files": len(files),
             "rows": sum(f.rows for f in files),
         }
+        return ref, tmp, files
+
+    def _publish_manifests(self, staged) -> None:
+        """fsync every staged manifest, THEN rename all into place.
+
+        Write-all/fsync-all/rename-all instead of per-manifest
+        write+fsync: each fsync forces a filesystem journal commit, and on
+        ext4 data=ordered that commit also flushes unrelated dirty data —
+        under a write-heavy phase (a bulk load that just materialized GBs
+        of parquet) 64 sequential per-bucket fsyncs were observed stalling
+        a commit by seconds.  Batched, the FIRST fsync pays the shared
+        journal flush (all manifest bytes are already written) and the
+        rest are near-free; a small pool overlaps the waits (fsync
+        releases the GIL).  Durability and atomicity are unchanged:
+        nothing is visible until the snapshot header — written and
+        fsynced AFTER every manifest — publishes via O_EXCL link, and a
+        crash mid-batch leaves only unreferenced files for vacuum,
+        exactly as before."""
+        if not staged:
+            return
+        import concurrent.futures
+
+        def _sync(tmp_path: str) -> None:
+            fd = os.open(tmp_path, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+
+        if len(staged) == 1:
+            _sync(staged[0][1])
+        else:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(_sync, [tmp for (_ref, tmp, _files) in staged]))
+        for ref, tmp, files in staged:
+            # unique name -> plain atomic rename (no race window to guard)
+            os.rename(tmp, os.path.join(self.dir, ref["path"]))
+            self._manifest_cache[ref["path"]] = list(files)
 
     def _same_branch_in_gap(
         self, branch: str, parent: int | None, version: int
@@ -593,6 +636,7 @@ class Ledger:
             groups.setdefault((f.bucket, f.kind), []).append(f)
         parent = self._parent_groups(snapshot.parent_version)
         refs: list[dict[str, Any]] = []
+        staged = []
         for (bucket, kind) in sorted(groups):
             files = groups[(bucket, kind)]
             inherited = parent.get((bucket, kind))
@@ -601,7 +645,12 @@ class Ledger:
             ) and len(inherited[1]) == len(files):
                 refs.append(inherited[0])
             else:
-                refs.append(self._write_manifest(snapshot.version, bucket, kind, files))
+                st = self._stage_manifest(snapshot.version, bucket, kind, files)
+                staged.append(st)
+                refs.append(st[0])
+        # one batched durability point for every new manifest (see
+        # _publish_manifests for why this is NOT per-manifest fsync)
+        self._publish_manifests(staged)
 
         doc = {
             "version": snapshot.version,

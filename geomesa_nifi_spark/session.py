@@ -63,6 +63,21 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
+    # Local-mode shuffle/spill dir (GNS_LOCAL_DIR to override; any real
+    # cluster manager overrides spark.local.dir wholesale, so this only
+    # ever applies to local[...] runs).  Default to the RAM-backed tmpfs
+    # when present, for the same reason bench.py's measurement children
+    # already did: on a real deployment every executor brings its own
+    # local disks, so shuffle bandwidth scales with the cluster — this
+    # box's ONE shared disk does not, and a merge's shuffle competing
+    # with the page-cache writeback of a preceding bulk write was the
+    # dominant source of run-to-run variance in the suite phase.  Point
+    # GNS_LOCAL_DIR at a disk path for local shuffles too big for tmpfs.
+    local_dir = os.environ.get("GNS_LOCAL_DIR")
+    if local_dir is None and (master or "").startswith("local") and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     builder = (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
