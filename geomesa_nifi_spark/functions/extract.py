@@ -157,7 +157,6 @@ _RE2_DROP = "|".join(
     for tag in ("script", "style", "head", "noscript")
 )
 _RE2_TAG = r"<[^>]+>"
-_RE2_WS = _WS_CLASS + "+"
 #: rows where RE2's ASCII ``\b`` could disagree with Python's Unicode one
 _RE2_TAG_EDGE = r"(?i)<(?:script|style|head|noscript)[^\x00-\x7f]"
 #: rows whose text could trip the vectorized lang path: astral codepoints

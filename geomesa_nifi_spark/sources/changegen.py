@@ -67,9 +67,6 @@ def _unit(*cols: Column) -> Column:
 # the words with Arrow — ~15x faster, byte-identical output
 # (tests/test_extract.py::test_generator_vectorized_text_matches_jvm).
 
-_U64 = None  # numpy constants, materialized lazily
-
-
 def _np_consts():
     import numpy as np
 
